@@ -1,0 +1,94 @@
+"""DIM backbone (Deep Image Matting, VGG16 encoder-decoder).
+
+Re-design of reference models/DIM/vggnet.py:10-133 and the VMN split
+variant models/VMN/VMN_DIM.py: 4-channel input (norm RGB + 1ch trimap),
+VGG16 conv/BN stacks with five argmax max-pools, conv6 7x7->4096, and a
+mirrored decoder using max-unpool with the recorded indices. NHWC.
+
+The VMN decoder splits at OS=8 (after dconv4, 256 channels) — the FAM
+attention is applied between ``extract`` and ``head``.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tcvom_tpu.models.layers import BatchNorm, Conv
+from tcvom_tpu.ops.image import max_pool_argmax_2x2, max_unpool_2x2
+
+
+class _ConvBNRelu(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = Conv(self.features, 3, padding=1, name="conv")(x)
+        x = BatchNorm(name="bn")(x, train)
+        return nn.relu(x)
+
+
+class DIMEncoder(nn.Module):
+    """VGG16-style encoder; returns (pool indices 1..5, conv6 features)."""
+    input_chn: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        idxs = []
+        for stage, (n_convs, feat) in enumerate(
+                [(2, 64), (2, 128), (3, 256), (3, 512), (3, 512)], start=1):
+            for j in range(1, n_convs + 1):
+                x = _ConvBNRelu(feat, name=f"block{stage}{j}")(x, train)
+            x, idx = max_pool_argmax_2x2(x)
+            idxs.append(idx)
+        x6 = nn.relu(Conv(4096, 7, padding=3, name="conv6")(x))
+        return {"indices": tuple(idxs), "x6": x6}
+
+
+class DIMDecoder(nn.Module):
+    """Full decoder for the single-frame DeepMatting model."""
+
+    @nn.compact
+    def __call__(self, enc, train: bool = False):
+        idx1, idx2, idx3, idx4, idx5 = enc["indices"]
+        x = nn.relu(Conv(512, 1, padding=0, name="dconv6")(enc["x6"]))
+        x = nn.relu(Conv(512, 5, padding=2, name="dconv5")(max_unpool_2x2(x, idx5)))
+        x = nn.relu(Conv(256, 5, padding=2, name="dconv4")(max_unpool_2x2(x, idx4)))
+        x = nn.relu(Conv(128, 5, padding=2, name="dconv3")(max_unpool_2x2(x, idx3)))
+        x = nn.relu(Conv(64, 5, padding=2, name="dconv2")(max_unpool_2x2(x, idx2)))
+        x = nn.relu(Conv(64, 5, padding=2, name="dconv1")(max_unpool_2x2(x, idx1)))
+        return jnp.clip(Conv(1, 5, padding=2, name="alpha_pred")(x), 0.0, 1.0)
+
+
+class DeepMatting(nn.Module):
+    """Single-frame DIM: 4ch input -> alpha (reference DIM_VGG())."""
+    input_chn: int = 4
+
+    def setup(self):
+        self.encoder = DIMEncoder(self.input_chn)
+        self.decoder = DIMDecoder()
+
+    def __call__(self, x, extras=None, train: bool = False):
+        return self.decoder(self.encoder(x, train), train)
+
+
+class DIMDecoderVMN(nn.Module):
+    """DIM decoder split at OS=8 for VMN (reference models/VMN/VMN_DIM.py:75).
+
+    ``extract``: dconv6 -> unpool5/dconv5 -> unpool4/dconv4 -> [B, H/8, W/8, 256]
+    ``head``: FAM output -> unpool3..1 convs -> alpha.
+    """
+    fam_channels: int = 256
+
+    @nn.compact
+    def __call__(self, enc, train: bool = False, mode: str = "extract", x=None):
+        if mode == "extract":
+            _, _, _, idx4, idx5 = enc["indices"]
+            h = nn.relu(Conv(512, 1, padding=0, name="dconv6")(enc["x6"]))
+            h = nn.relu(Conv(512, 5, padding=2, name="dconv5")(max_unpool_2x2(h, idx5)))
+            h = nn.relu(Conv(256, 5, padding=2, name="dconv4")(max_unpool_2x2(h, idx4)))
+            return h
+        idx1, idx2, idx3, _, _ = enc["indices"]
+        h = nn.relu(Conv(128, 5, padding=2, name="dconv3")(max_unpool_2x2(x, idx3)))
+        h = nn.relu(Conv(64, 5, padding=2, name="dconv2")(max_unpool_2x2(h, idx2)))
+        h = nn.relu(Conv(64, 5, padding=2, name="dconv1")(max_unpool_2x2(h, idx1)))
+        return jnp.clip(Conv(1, 5, padding=2, name="alpha_pred")(h), 0.0, 1.0)

@@ -1,0 +1,221 @@
+"""Shared Flax layer primitives for the matting backbones.
+
+Design notes (TPU-first):
+- everything is NHWC; conv kernels are HWIO (converter transposes torch's
+  OIHW).
+- normalization-statistics mutation lives in flax mutable collections:
+  ``batch_stats`` for BatchNorm and ``spectral`` for spectral-norm power
+  iteration vectors, replacing torch's in-forward buffer writes
+  (reference models/GCA/ops.py:25-45).
+- BatchNorm computed under jit over a sharded batch is synchronized across
+  the data mesh automatically by GSPMD — the reference needed explicit
+  SyncBatchNorm conversion (train_ddp.py:272).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch defaults (momentum 0.1, eps 1e-5)."""
+    use_running_average: bool | None = None
+    momentum: float = 0.9   # flax convention: ema keep-rate = 1 - torch momentum
+    epsilon: float = 1e-5
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, train: bool | None = None):
+        ura = (not train) if train is not None else self.use_running_average
+        return nn.BatchNorm(use_running_average=ura, momentum=self.momentum,
+                            epsilon=self.epsilon, dtype=self.dtype)(x)
+
+
+class Conv(nn.Module):
+    """Plain conv2d, NHWC/HWIO, torch-compatible padding semantics."""
+    features: int
+    kernel_size: int | tuple[int, int]
+    strides: int = 1
+    padding: int | str = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.xavier_uniform()
+
+    @nn.compact
+    def __call__(self, x):
+        ks = self.kernel_size if isinstance(self.kernel_size, tuple) else (
+            self.kernel_size, self.kernel_size)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        return nn.Conv(self.features, ks, strides=(self.strides, self.strides),
+                       padding=pad, kernel_dilation=(self.dilation, self.dilation),
+                       feature_group_count=self.groups, use_bias=self.use_bias,
+                       kernel_init=self.kernel_init)(x)
+
+
+class WSConv(nn.Module):
+    """Weight-standardized conv (FBA; reference models/FBA/layers_WS.py:6-23).
+
+    The kernel is re-centered and divided by its per-output-channel std
+    (unbiased, +1e-12 inside the sqrt, +1e-5 outside) in every forward.
+    """
+    features: int
+    kernel_size: int | tuple[int, int]
+    strides: int = 1
+    padding: int | str = 0
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        ks = self.kernel_size if isinstance(self.kernel_size, tuple) else (
+            self.kernel_size, self.kernel_size)
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (*ks, in_ch, self.features))
+        # standardize over (kh, kw, in) per output channel
+        mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
+        w = kernel - mean
+        flat = w.reshape(-1, self.features)
+        var = jnp.var(flat, axis=0, ddof=1)
+        std = jnp.sqrt(var + 1e-12) + 1e-5
+        w = w / std[None, None, None, :]
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(self.strides, self.strides),
+            padding=pad, rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+def _l2n(v, eps=1e-12):
+    return v / (jnp.linalg.norm(v) + eps)
+
+
+def conv_transpose_torch(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+                         padding: int) -> jnp.ndarray:
+    """torch ``ConvTranspose2d`` forward with kernel ``[kh, kw, in, out]``.
+
+    Implemented as input-dilated convolution with the spatially-flipped
+    kernel: out = (H-1)*stride - 2*padding + kh.
+    """
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    flipped = kernel[::-1, ::-1, :, :]
+    return jax.lax.conv_general_dilated(
+        x, flipped.astype(x.dtype), window_strides=(1, 1),
+        padding=[(kh - 1 - padding, kh - 1 - padding),
+                 (kw - 1 - padding, kw - 1 - padding)],
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class SNConv(nn.Module):
+    """Conv2d wrapped in spectral normalization (GCA; reference
+    models/GCA/ops.py:12-80).
+
+    Stores ``kernel_bar`` as the trainable weight plus power-iteration
+    vectors ``u``/``v`` in the ``spectral`` collection. In training mode one
+    power iteration updates u, v (on the stop-gradiented weight, like
+    torch's .data writes); sigma = u·W·v is differentiable w.r.t. the
+    weight in both modes.
+    """
+    features: int
+    kernel_size: int | tuple[int, int]
+    strides: int = 1
+    padding: int | str = 0
+    use_bias: bool = False
+    transpose: bool = False   # ConvTranspose2d(k=4, s=2, p=1) variant
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, update_sn: bool | None = None):
+        ks = self.kernel_size if isinstance(self.kernel_size, tuple) else (
+            self.kernel_size, self.kernel_size)
+        in_ch = x.shape[-1]
+        if self.transpose:
+            # torch ConvTranspose2d weight is [in, out, kh, kw] and spectral
+            # norm flattens with height = dim0 = in_ch. We store [kh, kw,
+            # in, out] and flatten to match torch's view(in, -1).
+            kernel = self.param("kernel_bar", nn.initializers.xavier_uniform(),
+                                (*ks, in_ch, self.features))  # [kh, kw, in, out]
+            height = in_ch
+            wmat = jnp.transpose(kernel, (2, 3, 0, 1)).reshape(height, -1)
+        else:
+            kernel = self.param("kernel_bar", nn.initializers.xavier_uniform(),
+                                (*ks, in_ch, self.features))
+            height = self.features
+            wmat = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(height, -1)
+
+        u = self.variable("spectral", "u",
+                          lambda: _l2n(jax.random.normal(self.make_rng("params") if
+                                                         self.is_initializing() else
+                                                         jax.random.PRNGKey(0), (height,))))
+        v = self.variable("spectral", "v",
+                          lambda: _l2n(jax.random.normal(jax.random.fold_in(
+                              self.make_rng("params"), 1) if self.is_initializing() else
+                              jax.random.PRNGKey(1), (wmat.shape[1],))))
+
+        do_update = train if update_sn is None else update_sn
+        if do_update and not self.is_initializing():
+            wd = jax.lax.stop_gradient(wmat)
+            v_new = _l2n(wd.T @ u.value)
+            u_new = _l2n(wd @ v_new)
+            u.value = u_new
+            v.value = v_new
+        uu = jax.lax.stop_gradient(u.value)
+        vv = jax.lax.stop_gradient(v.value)
+        sigma = uu @ (wmat @ vv)
+        w = kernel / sigma
+
+        if self.transpose:
+            pad = self.padding if isinstance(self.padding, int) else 1
+            y = conv_transpose_torch(x, w, self.strides, pad)
+        else:
+            pad = self.padding
+            if isinstance(pad, int):
+                pad = [(pad, pad), (pad, pad)]
+            y = jax.lax.conv_general_dilated(
+                x, w.astype(x.dtype), window_strides=(self.strides, self.strides),
+                padding=pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+class ConvTranspose(nn.Module):
+    """Plain ConvTranspose2d(kernel=4, stride=2, padding=1) — torch semantics."""
+    features: int
+    kernel_size: int = 4
+    strides: int = 2
+    padding: int = 1
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                            (k, k, in_ch, self.features))
+        y = conv_transpose_torch(x, kernel, self.strides, self.padding)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm with 32 groups (FBA's `norm`, models/FBA/layers_WS.py:26)."""
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5)(x)

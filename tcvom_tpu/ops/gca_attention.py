@@ -1,0 +1,129 @@
+"""Guided contextual attention core, reformulated for the MXU.
+
+The reference (models/GCA/ops.py:106-229) runs a Python loop over batch
+elements, building per-sample dynamic conv kernels from feature patches
+(correlation as conv2d, reconstruction as conv_transpose2d). Here both
+steps are batched einsums:
+
+  corr[b, n, i, j] = <patch_n(f_b) / max(||patch_n||, 1e-4), win_{ij}(f_b)>
+  out  = overlap_add( softmax_n(scaled corr) @ alpha_patches )
+
+which XLA lowers to [hw, 9C] x [9C, N] and [hw, N] x [N, 16C] matmuls —
+exactly what the MXU wants, with no per-sample loop.
+
+Shapes (rate=2 fixed, as in the reference): guidance ``f [B, h, w, Cf]``
+already downsampled to half the alpha-feature resolution; ``alpha``
+features ``[B, 2h, 2w, Ca]``; ``unknown [B, h, w, 1]``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tcvom_tpu.ops.image import unfold
+
+
+def extract_patches_reflect(x: jnp.ndarray, kernel: int, stride: int) -> jnp.ndarray:
+    """Reference `extract_patches` (models/GCA/ops.py:231-238): reflect pad
+    with left=(k-s+1)//2, right=(k-s)//2, then unfold. Returns
+    ``[B, N, k*k, C]`` with N = (h/stride)*(w/stride), row-major patches."""
+    left = (kernel - stride + 1) // 2
+    right = (kernel - stride) // 2
+    xp = jnp.pad(x, [(0, 0), (left, right), (left, right), (0, 0)], mode="reflect")
+    pats = unfold(xp, kernel, padding=0, stride=stride)    # [B, nh, nw, k*k, C]
+    b, nh, nw, kk, c = pats.shape
+    return pats.reshape(b, nh * nw, kk, c)
+
+
+def overlap_add_stride2_k4(z: jnp.ndarray) -> jnp.ndarray:
+    """conv_transpose2d(stride=2, kernel=4, padding=1) as explicit overlap-add.
+
+    ``z``: ``[B, h, w, 4, 4, C]`` per-position kernel contributions. Output
+    ``[B, 2h, 2w, C]`` where out[2a+r, 2b+s] sums z[a - dh, b - dw,
+    u=2*dh+r+1, v=2*dw+s+1] over dh, dw in {0 (or -1 for u=0)}: concretely
+    out[2a]   = z[a, u=1] + z[a-1, u=3]
+    out[2a+1] = z[a, u=2] + z[a+1, u=0]   (same decomposition along w).
+    """
+    b, h, w, _, _, c = z.shape
+
+    def shift(t, d, axis):
+        # value at index a of result = t[a + d] (zero outside)
+        if d == 0:
+            return t
+        pad = [(0, 0)] * t.ndim
+        if d > 0:
+            pad[axis] = (0, d)
+            return jnp.pad(jax.lax.slice_in_dim(t, d, t.shape[axis], axis=axis), pad)
+        pad[axis] = (-d, 0)
+        return jnp.pad(jax.lax.slice_in_dim(t, 0, t.shape[axis] + d, axis=axis), pad)
+
+    # rows: even rows from u=1 (a) and u=3 (a-1); odd rows from u=2 (a), u=0 (a+1)
+    even_r = z[:, :, :, 1] + shift(z[:, :, :, 3], -1, 1)   # [B, h, w, 4, C]
+    odd_r = z[:, :, :, 2] + shift(z[:, :, :, 0], +1, 1)
+    rows = jnp.stack([even_r, odd_r], axis=2)              # [B, h, 2, w, 4, C]
+    rows = rows.reshape(b, 2 * h, w, 4, c)
+
+    even_c = rows[:, :, :, 1] + shift(rows[:, :, :, 3], -1, 2)
+    odd_c = rows[:, :, :, 2] + shift(rows[:, :, :, 0], +1, 2)
+    cols = jnp.stack([even_c, odd_c], axis=3)              # [B, 2h, w, 2, C]
+    return cols.reshape(b, 2 * h, 2 * w, c)
+
+
+def guided_attention_core(f_down: jnp.ndarray, alpha: jnp.ndarray,
+                          unknown_down: jnp.ndarray,
+                          softmax_scale: float = 1.0,
+                          has_unknown: bool = True) -> jnp.ndarray:
+    """The batched correlate→softmax→reconstruct pipeline.
+
+    f_down:       ``[B, h, w, Cf]`` guidance features at half alpha res.
+    alpha:        ``[B, 2h, 2w, Ca]`` features to reconstruct from.
+    unknown_down: ``[B, h, w, 1]`` unknown-region mask at guidance res.
+    Returns the reconstructed ``[B, 2h, 2w, Ca]`` (before the W-conv +
+    residual in the module wrapper).
+    """
+    b, h, w, cf = f_down.shape
+    n = h * w
+    ca = alpha.shape[-1]
+
+    # patch bank of guidance features: [B, N, 9, Cf], L2-normalized per patch
+    wbank = extract_patches_reflect(f_down, kernel=3, stride=1)
+    norm = jnp.sqrt(jnp.sum(wbank ** 2, axis=(-2, -1), keepdims=True))
+    wbank_n = wbank / jnp.maximum(norm, 1e-4)
+
+    # windows of f at every position: [B, h, w, 9, Cf] (reflect pad 1)
+    xwin = unfold(jnp.pad(f_down, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="reflect"),
+                  3, padding=0, stride=1)
+
+    corr = jnp.einsum("bhwpc,bnpc->bhwn", xwin, wbank_n,
+                      preferred_element_type=jnp.float32)   # [B, h, w, N]
+
+    if has_unknown:
+        # per-patch unknown-ness and global scale factors (ops.py:135-156)
+        um = jnp.mean(unknown_down[..., 0], axis=(1, 2))               # [B]
+        km = 1.0 - um
+        s_un = jnp.clip(jnp.sqrt(um / jnp.maximum(km, 1e-12)), 0.1, 10.0)
+        s_kn = jnp.clip(jnp.sqrt(km / jnp.maximum(um, 1e-12)), 0.1, 10.0)
+        upat = extract_patches_reflect(unknown_down, kernel=3, stride=1)
+        mm = (jnp.mean(upat, axis=(-2, -1)) > 0).astype(corr.dtype)    # [B, N]
+    else:
+        s_un = jnp.full((b,), softmax_scale, corr.dtype)
+        s_kn = jnp.full((b,), softmax_scale, corr.dtype)
+        mm = jnp.ones((b, n), corr.dtype)
+
+    scale = (s_un[:, None] * mm + s_kn[:, None] * (1.0 - mm))          # [B, N]
+    corr = corr * scale[:, None, None, :]
+
+    # self-correlation mask, applied only on unknown patches
+    eye = jnp.arange(n)
+    self_hit = (eye[None, :] == jnp.arange(n)[:, None]).astype(corr.dtype)  # [n_pos, N]
+    self_mask = self_hit.reshape(h, w, n) * (-1e4)
+    corr = corr + self_mask[None] * mm[:, None, None, :]
+
+    att = jax.nn.softmax(corr, axis=-1)                                # [B, h, w, N]
+
+    # reconstruction: 4x4/stride-2 patches of alpha as per-patch kernels
+    apat = extract_patches_reflect(alpha, kernel=4, stride=2)          # [B, N, 16, Ca]
+    z = jnp.einsum("bhwn,bnkc->bhwkc", att, apat,
+                   preferred_element_type=jnp.float32)                 # [B, h, w, 16, Ca]
+    z = z.reshape(b, h, w, 4, 4, ca)
+    return overlap_add_stride2_k4(z) / 4.0

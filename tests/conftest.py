@@ -1,0 +1,22 @@
+"""Test config: force an 8-device virtual CPU backend so sharding tests run
+anywhere (the idiomatic JAX stand-in for a multi-chip mesh)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# Parity tests compare against torch float32; use exact f32 convs/matmuls.
+# (Production keeps the fast default: bf16 MXU passes on TPU.)
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
