@@ -23,7 +23,7 @@ class _ConvBNRelu(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         x = Conv(self.features, 3, padding=1, name="conv")(x)
-        x = BatchNorm(name="bn")(x, train)
+        x = BatchNorm(name="bn")(x, use_running_average=not train)
         return nn.relu(x)
 
 

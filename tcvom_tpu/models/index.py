@@ -30,7 +30,7 @@ class ConvBN(nn.Module):
     def __call__(self, x, train: bool = False):
         x = Conv(self.features, self.kernel, strides=self.stride,
                  padding=self.kernel // 2, use_bias=False, name="conv")(x)
-        x = BatchNorm(name="bn")(x, train)
+        x = BatchNorm(name="bn")(x, use_running_average=not train)
         return relu6(x)
 
 
@@ -51,16 +51,16 @@ class InvertedResidual(nn.Module):
         h = x
         if self.expand_ratio != 1:
             h = Conv(hidden, 1, padding=0, use_bias=False, name="pw")(h)
-            h = BatchNorm(name="pw_bn")(h, train)
+            h = BatchNorm(name="pw_bn")(h, use_running_average=not train)
             h = relu6(h)
         # fixed padding: total = 2*d, split d/d (net.py:63-69)
         h = jnp.pad(h, [(0, 0), (d, d), (d, d), (0, 0)])
         h = Conv(hidden, 3, padding=0, dilation=d, groups=hidden,
                  use_bias=False, name="dw")(h)
-        h = BatchNorm(name="dw_bn")(h, train)
+        h = BatchNorm(name="dw_bn")(h, use_running_average=not train)
         h = relu6(h)
         h = Conv(self.oup, 1, padding=0, use_bias=False, name="pw_linear")(h)
-        h = BatchNorm(name="pw_linear_bn")(h, train)
+        h = BatchNorm(name="pw_linear_bn")(h, use_running_average=not train)
         return x + h if use_res else h
 
 
@@ -75,7 +75,7 @@ class DepthwiseM2OIndexBlock(nn.Module):
         for i in range(1, 5):
             h = Conv(self.inp, 4, strides=2, padding=1, use_bias=False,
                      name=f"indexnet{i}_conv0")(x)
-            h = BatchNorm(name=f"indexnet{i}_bn")(h, train)
+            h = BatchNorm(name=f"indexnet{i}_bn")(h, use_running_average=not train)
             h = relu6(h)
             h = Conv(self.inp, 1, padding=0, use_bias=False,
                      name=f"indexnet{i}_conv1")(h)
@@ -99,17 +99,17 @@ class ASPP(nn.Module):
     def __call__(self, x, train: bool = False):
         def branch_1x1(h, name):
             h = Conv(256, 1, padding=0, use_bias=False, name=f"{name}_conv")(h)
-            h = BatchNorm(name=f"{name}_bn")(h, train)
+            h = BatchNorm(name=f"{name}_bn")(h, use_running_average=not train)
             return relu6(h)
 
         def branch_sep(h, dil, name):
             c = h.shape[-1]
             h = Conv(c, 3, padding=dil, dilation=dil, groups=c, use_bias=False,
                      name=f"{name}_dw")(h)
-            h = BatchNorm(name=f"{name}_dw_bn")(h, train)
+            h = BatchNorm(name=f"{name}_dw_bn")(h, use_running_average=not train)
             h = relu6(h)
             h = Conv(256, 1, padding=0, use_bias=False, name=f"{name}_pw")(h)
-            h = BatchNorm(name=f"{name}_pw_bn")(h, train)
+            h = BatchNorm(name=f"{name}_pw_bn")(h, use_running_average=not train)
             return relu6(h)
 
         x1 = branch_1x1(x, "aspp1")
@@ -120,9 +120,8 @@ class ASPP(nn.Module):
         g = branch_1x1(g, "global")
         g = jnp.broadcast_to(g, x4.shape[:-1] + (g.shape[-1],))
         h = jnp.concatenate([x1, x2, x3, x4, g], axis=-1)
-        h = branch_1x1(h, "bottleneck") if False else h
         h = Conv(self.oup, 1, padding=0, use_bias=False, name="bottleneck_conv")(h)
-        h = BatchNorm(name="bottleneck_bn")(h, train)
+        h = BatchNorm(name="bottleneck_bn")(h, use_running_average=not train)
         h = relu6(h)
         return nn.Dropout(0.5)(h, deterministic=not train)
 

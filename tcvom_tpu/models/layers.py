@@ -22,42 +22,31 @@ from flax import linen as nn
 Dtype = Any
 
 
-class BatchNorm(nn.Module):
-    """BatchNorm2d with torch defaults (momentum 0.1, eps 1e-5)."""
-    use_running_average: bool | None = None
-    momentum: float = 0.9   # flax convention: ema keep-rate = 1 - torch momentum
-    epsilon: float = 1e-5
-    dtype: Dtype = None
-
-    @nn.compact
-    def __call__(self, x, train: bool | None = None):
-        ura = (not train) if train is not None else self.use_running_average
-        return nn.BatchNorm(use_running_average=ura, momentum=self.momentum,
-                            epsilon=self.epsilon, dtype=self.dtype)(x)
+def BatchNorm(name: str | None = None, momentum: float = 0.9,
+              epsilon: float = 1e-5,
+              scale_init: Callable = nn.initializers.ones) -> nn.BatchNorm:
+    """BatchNorm2d factory with torch defaults (momentum 0.1 -> flax 0.9,
+    eps 1e-5). Call with (x, use_running_average=not train). A factory (not
+    a wrapper module) keeps param paths flat: <name>/{scale,bias,mean,var}."""
+    return nn.BatchNorm(momentum=momentum, epsilon=epsilon,
+                        scale_init=scale_init, name=name)
 
 
-class Conv(nn.Module):
-    """Plain conv2d, NHWC/HWIO, torch-compatible padding semantics."""
-    features: int
-    kernel_size: int | tuple[int, int]
-    strides: int = 1
-    padding: int | str = 0
-    dilation: int = 1
-    groups: int = 1
-    use_bias: bool = True
-    kernel_init: Callable = nn.initializers.xavier_uniform()
-
-    @nn.compact
-    def __call__(self, x):
-        ks = self.kernel_size if isinstance(self.kernel_size, tuple) else (
-            self.kernel_size, self.kernel_size)
-        pad = self.padding
-        if isinstance(pad, int):
-            pad = [(pad, pad), (pad, pad)]
-        return nn.Conv(self.features, ks, strides=(self.strides, self.strides),
-                       padding=pad, kernel_dilation=(self.dilation, self.dilation),
-                       feature_group_count=self.groups, use_bias=self.use_bias,
-                       kernel_init=self.kernel_init)(x)
+def Conv(features: int, kernel_size, strides: int = 1, padding=0,
+         dilation: int = 1, groups: int = 1, use_bias: bool = True,
+         kernel_init: Callable = nn.initializers.xavier_uniform(),
+         name: str | None = None) -> nn.Conv:
+    """Plain conv2d factory, NHWC/HWIO, torch-style integer padding.
+    A factory keeps param paths flat: <name>/{kernel,bias}."""
+    ks = kernel_size if isinstance(kernel_size, tuple) else (
+        kernel_size, kernel_size)
+    pad = padding
+    if isinstance(pad, int):
+        pad = [(pad, pad), (pad, pad)]
+    return nn.Conv(features, ks, strides=(strides, strides), padding=pad,
+                   kernel_dilation=(dilation, dilation),
+                   feature_group_count=groups, use_bias=use_bias,
+                   kernel_init=kernel_init, name=name)
 
 
 class WSConv(nn.Module):
@@ -137,6 +126,7 @@ class SNConv(nn.Module):
     padding: int | str = 0
     use_bias: bool = False
     transpose: bool = False   # ConvTranspose2d(k=4, s=2, p=1) variant
+    kernel_init: Callable = nn.initializers.xavier_uniform()
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_sn: bool | None = None):
@@ -147,12 +137,12 @@ class SNConv(nn.Module):
             # torch ConvTranspose2d weight is [in, out, kh, kw] and spectral
             # norm flattens with height = dim0 = in_ch. We store [kh, kw,
             # in, out] and flatten to match torch's view(in, -1).
-            kernel = self.param("kernel_bar", nn.initializers.xavier_uniform(),
+            kernel = self.param("kernel_bar", self.kernel_init,
                                 (*ks, in_ch, self.features))  # [kh, kw, in, out]
             height = in_ch
             wmat = jnp.transpose(kernel, (2, 3, 0, 1)).reshape(height, -1)
         else:
-            kernel = self.param("kernel_bar", nn.initializers.xavier_uniform(),
+            kernel = self.param("kernel_bar", self.kernel_init,
                                 (*ks, in_ch, self.features))
             height = self.features
             wmat = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(height, -1)
@@ -214,8 +204,6 @@ class ConvTranspose(nn.Module):
         return y
 
 
-class GroupNorm32(nn.Module):
-    """GroupNorm with 32 groups (FBA's `norm`, models/FBA/layers_WS.py:26)."""
-    @nn.compact
-    def __call__(self, x):
-        return nn.GroupNorm(num_groups=32, epsilon=1e-5)(x)
+def GroupNorm32(name: str | None = None) -> nn.GroupNorm:
+    """GroupNorm(32) factory (FBA's `norm`, models/FBA/layers_WS.py:26)."""
+    return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)

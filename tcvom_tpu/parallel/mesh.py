@@ -1,0 +1,57 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the
+reference's NCCL process-group machinery (train_ddp.py:199-204, 270-280;
+utils/utils.py:41-59).
+
+Design: a 1-D ``data`` mesh (optionally x ``space`` for sharding the H axis
+of 1080p activations at inference). Under jit + GSPMD:
+
+- gradient all-reduce (DDP buckets)      -> automatic from sharded batch
+- SyncBatchNorm stat all-reduce          -> automatic: BN reduces over the
+                                            global (sharded) batch axis
+- scalar loss all-reduce (reduce_tensor) -> jnp.mean of a sharded scalar
+- DistributedSampler                     -> process-strided host loader
+- barriers                               -> not needed (single controller)
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPACE_AXIS = "space"
+
+
+def make_mesh(devices: Sequence[Any] | None = None, space: int = 1) -> Mesh:
+    """1-D data mesh over all devices, or 2-D (data, space) when ``space``>1
+    to co-shard the image height axis for very large frames."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % space == 0, (n, space)
+    arr = np.array(devices).reshape(n // space, space)
+    return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, space_axis: int | None = None
+                   ) -> NamedSharding:
+    """Shard dim 0 over 'data' (and optionally one spatial dim over 'space')."""
+    spec = [None] * ndim
+    spec[0] = DATA_AXIS
+    if space_axis is not None and mesh.shape[SPACE_AXIS] > 1:
+        spec[space_axis] = SPACE_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch pytree with dim-0 sharded over 'data'."""
+    def put(x):
+        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params/state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

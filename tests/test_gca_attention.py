@@ -39,7 +39,7 @@ def torch_gca_core(fd, alpha, unknown):
 
     m = torch_patches(unknown, 3, 1).permute(0, 2, 3, 4, 5, 1)
     m = m.contiguous().view(b, h, w, -1).view(b, n, 3, 3)
-    mm = (m.mean(dim=(2, 3), keepdim=True).unsqueeze(-1) > 0).float()  # [B,N,1,1]
+    mm = (m.mean(dim=(2, 3), keepdim=True) > 0).float()  # [B, N, 1, 1]
 
     self_mask = F.one_hot(torch.arange(n).view(h, w), num_classes=n)
     self_mask = self_mask.permute(2, 0, 1).view(1, n, h, w).float() * (-1e4)
