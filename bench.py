@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark: FBA+TAM 1080p video-matting inference throughput on one chip.
+
+Measures the end-to-end jitted EvalModel path of the flagship model
+(vmn_fba: 3-frame sliding window at 1088x1920 with on-device trimap
+encoding incl. the Euclidean distance transform) and prints ONE JSON line.
+
+``vs_baseline``: the reference (PyTorch CUDA, pred_vmn.py) publishes no
+throughput numbers; the north star in BASELINE.json is >=10x the CUDA
+reference frames/sec/chip. We use 1.0 fps as the reference estimate for a
+2021-era GPU running FBA+TAM at 1080p (ResNet-50-dilated at OS=8 over 3
+frames/step), so vs_baseline == measured fps.
+"""
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+
+import jax
+
+_CACHE = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_FPS_ESTIMATE = 1.0
+
+
+def main():
+    from tcvom_tpu.models import registry
+    from tcvom_tpu.models import full_model as FM
+
+    name = "vmn_fba"
+    cfg = FM.TaskConfig(model=name, agg_window=7)
+    module = registry.build_model(name, agg_window=7)
+
+    b, s, h, w = 1, 3, 1088, 1920
+    x = jnp.zeros((b, s, h, w, 3 + cfg.trimap_channels), jnp.float32)
+    masks = jnp.ones((b, s, h, w, 1), jnp.float32)
+    extras = (jnp.zeros((b, s, h, w, 3)), jnp.zeros((b, s, h, w, 2)))
+    variables = jax.jit(lambda: module.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        x, masks, extras=extras, train=False))()
+
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randint(0, 256, (b, s, h, w, 3)).astype(np.float32))
+    tri = np.zeros((b, s, h, w, 1), np.float32)
+    tri[:, :, 300:800, 500:1400] = 128.0
+    tri[:, :, 450:650, 700:1200] = 255.0
+    tris = jnp.asarray(tri)
+
+    fwd = jax.jit(lambda v, i, t: FM.forward_eval(module, v, i, t, cfg))
+
+    # warmup / compile
+    out = fwd(variables, imgs, tris)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, imgs, tris)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    # each step produces one new center-frame matte (sliding window)
+    fps = iters / dt
+    print(json.dumps({
+        "metric": "FBA+TAM 1080p inference frames/sec/chip",
+        "value": round(fps, 4),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

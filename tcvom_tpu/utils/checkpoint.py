@@ -1,0 +1,70 @@
+"""Checkpoint save/restore via orbax + the staged-load flow.
+
+Replaces the reference's per-epoch ``torch.save`` pair and strict=False
+partial loads (train_ddp.py:261-268, 331-343). Checkpoints hold the full
+TrainState (params, model_state, opt_state, step); ``load_weights``
+supports loading converted torch checkpoints or our own, with
+missing/unexpected key reporting.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAS_ORBAX = True
+except ImportError:         # pragma: no cover
+    _HAS_ORBAX = False
+
+from tcvom_tpu.utils.convert import convert_state_dict, merge_variables
+
+
+def save_checkpoint(path: str, state) -> None:
+    """Save a TrainState (or any pytree) to ``path`` (directory)."""
+    path = os.path.abspath(path)
+    if _HAS_ORBAX:
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, jax.tree.map(np.asarray, state), force=True)
+    else:
+        with open(path + ".pkl", "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, state), f)
+
+
+def restore_checkpoint(path: str, target=None):
+    path = os.path.abspath(path)
+    if _HAS_ORBAX and os.path.isdir(path):
+        ckptr = ocp.PyTreeCheckpointer()
+        return ckptr.restore(path, item=target)
+    with open(path if path.endswith(".pkl") else path + ".pkl", "rb") as f:
+        return pickle.load(f)
+
+
+def load_weights(model_name: str, init_variables: dict, ckpt_path: str,
+                 logger=None):
+    """Load model weights from either a torch ``.pth`` state_dict or one of
+    our orbax/pickle checkpoints, partially (strict=False semantics),
+    reporting missing/unexpected keys like train_ddp.py:263-267."""
+    if ckpt_path.endswith((".pth", ".pth.tar", ".pt")):
+        import torch
+        sd = torch.load(ckpt_path, map_location="cpu")
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+        loaded, unmatched = convert_state_dict(model_name, sd)
+        if unmatched and logger:
+            logger.info("Unconverted torch keys: %s", sorted(unmatched))
+    else:
+        loaded = restore_checkpoint(ckpt_path)
+        # accept a full TrainState dump or raw variables
+        if isinstance(loaded, dict) and "params" in loaded and "model_state" in loaded:
+            loaded = {"params": loaded["params"], **loaded["model_state"]}
+    merged, missing, unexpected = merge_variables(init_variables, loaded)
+    if logger:
+        logger.info("Missing keys: %s", sorted(missing))
+        logger.info("Unexpected keys: %s", sorted(unexpected))
+    return merged, missing, unexpected

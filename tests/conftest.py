@@ -13,6 +13,16 @@ import jax  # noqa: E402
 # (Production keeps the fast default: bf16 MXU passes on TPU.)
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# XLA compilation is proxied through a remote relay in this environment
+# (~1s+ blocking per compile); the persistent cache makes repeat test runs
+# fast.
+import pathlib  # noqa: E402
+
+_CACHE = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

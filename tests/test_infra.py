@@ -1,0 +1,86 @@
+"""Config system, loader sharding, converter merge, trainer mask tests."""
+import numpy as np
+import pytest
+
+from tcvom_tpu.config import load_config
+from tcvom_tpu.data.loader import DataLoader, epoch_indices
+from tcvom_tpu.utils.convert import merge_variables
+
+
+def test_config_defaults_and_overrides(tmp_path):
+    cfg = load_config()
+    assert cfg.MODEL == "vmn_fba"
+    assert cfg.TRAIN.BATCH_SIZE_PER_GPU == 1
+
+    y = tmp_path / "c.yaml"
+    y.write_text("MODEL: vmn_dim\nTRAIN:\n  BASE_LR: 0.0001\n")
+    cfg = load_config(str(y), ["TRAIN.TOTAL_STEPS", "30", "AGG_WINDOW", "9"])
+    assert cfg.MODEL == "vmn_dim"
+    assert cfg.TRAIN.BASE_LR == 1e-4
+    assert cfg.TRAIN.TOTAL_STEPS == 30
+    assert cfg.AGG_WINDOW == 9
+    with pytest.raises(AttributeError):
+        cfg.MODEL = "x"
+    with pytest.raises(KeyError):
+        load_config(None, ["NOSUCH.KEY", "1"])
+
+
+def test_epoch_indices_sharding():
+    # DistributedSampler semantics: same permutation, disjoint strided slices
+    full = set()
+    for shard in range(4):
+        idx = epoch_indices(10, epoch=3, shuffle=True, num_shards=4, shard=shard)
+        assert len(idx) == 3
+        full.update(int(i) for i in idx)
+    assert full <= set(range(10))
+    a = epoch_indices(10, 3, True, num_shards=4, shard=1)
+    b = epoch_indices(10, 3, True, num_shards=4, shard=1)
+    np.testing.assert_array_equal(a, b)     # deterministic
+    c = epoch_indices(10, 4, True, num_shards=4, shard=1)
+    assert not np.array_equal(a, c)         # varies by epoch
+
+
+class _DS:
+    def __len__(self):
+        return 13
+
+    def __getitem__(self, i):
+        return {"x": np.full((2, 2), i, np.float32), "idx": np.int32(i)}
+
+
+def test_loader_batches():
+    dl = DataLoader(_DS(), batch_size=4, shuffle=False, num_workers=2,
+                    drop_last=True)
+    batches = list(dl)
+    assert len(batches) == 3 == len(dl)
+    assert batches[0]["x"].shape == (4, 2, 2)
+    got = sorted(int(i) for b in batches for i in b["idx"])
+    assert got == list(range(12))
+
+
+def test_merge_variables_reports():
+    init = {"params": {"a": {"kernel": np.zeros((2, 2))},
+                       "b": {"bias": np.zeros(3)}}}
+    loaded = {"params": {"a": {"kernel": np.ones((2, 2))},
+                         "c": {"w": np.ones(1)}}}
+    merged, missing, unexpected = merge_variables(init, loaded)
+    assert merged["params"]["a"]["kernel"].sum() == 4
+    assert merged["params"]["b"]["bias"].sum() == 0
+    assert ("params", "b", "bias") in missing
+    assert ("params", "c", "w") in unexpected
+
+
+def test_trainable_mask_freeze():
+    from tcvom_tpu.train.trainer import trainable_mask
+    params = {
+        "encoder": {"conv": {"kernel": 0}},
+        "decoder": {"dconv6": {"kernel": 0}, "dconv3": {"kernel": 0}},
+        "fam": {"key_conv": {"kernel": 0}},
+    }
+    mask = trainable_mask(params, "vmn_dim", freeze_backbone=True)
+    assert mask["encoder"]["conv"]["kernel"] is False
+    assert mask["decoder"]["dconv6"]["kernel"] is False
+    assert mask["decoder"]["dconv3"]["kernel"] is True
+    assert mask["fam"]["key_conv"]["kernel"] is True
+    mask = trainable_mask(params, "vmn_dim", freeze_backbone=False)
+    assert all(v for v in [mask["encoder"]["conv"]["kernel"]])

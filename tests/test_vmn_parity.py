@@ -1,0 +1,68 @@
+"""End-to-end VMN (TAM) parity vs the reference's temporal model: random
+reference weights converted through utils.convert must reproduce the
+reference VMN forward (preds + raw attention logits) on our batched/dense
+implementation."""
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+# the reference VMN module imports torchvision.utils but never uses it in
+# forward; stub it (torchvision is not installed here)
+if "torchvision" not in sys.modules:
+    tv = types.ModuleType("torchvision")
+    tv.utils = types.ModuleType("torchvision.utils")
+    tv.utils.save_image = lambda *a, **k: None
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.utils"] = tv.utils
+
+sys.path.insert(0, "/root/reference")
+
+from tcvom_tpu.models import registry
+from tcvom_tpu.utils.convert import convert_state_dict, merge_variables
+
+H = W = 64
+S = 3
+
+
+@pytest.mark.slow
+def test_vmn_dim_parity(rng):
+    from models.VMN import get_VMN_models
+    torch.manual_seed(0)
+    ref = get_VMN_models(arch="vmn_dim", agg_window=3).eval()
+
+    imgs = rng.randn(1, S, 4, H, W).astype(np.float32)
+    mask = (rng.rand(1, S, 1, H, W) > 0.3).astype(np.float32)
+
+    t_imgs = [torch.from_numpy(imgs[:, i:i + 1]) for i in range(S)]
+    t_masks = [torch.from_numpy(mask[:, i]) for i in range(S)]
+    with torch.no_grad():
+        preds, attb, attf, small_mask = ref(t_imgs, t_masks)
+    want_pred = preds[1].numpy()
+    want_attb = attb[1].numpy()          # [B, w*w, h, w] dense logits
+
+    name = "vmn_dim"
+    module = registry.build_model(name, agg_window=3)
+    variables, unmatched = convert_state_dict(name, ref.state_dict())
+    assert not unmatched, unmatched[:8]
+
+    x = jnp.asarray(np.moveaxis(imgs, 2, -1))
+    m = jnp.asarray(np.moveaxis(mask, 2, -1))
+    key = jax.random.PRNGKey(0)
+    init_vars = jax.jit(lambda: module.init(
+        {"params": key, "dropout": key}, x, m, train=False))()
+    merged, missing, unexpected = merge_variables(init_vars, variables)
+    assert not missing and not unexpected, (missing[:5], unexpected[:5])
+
+    out, lb, lf, sm = jax.jit(
+        lambda v: module.apply(v, x, m, train=False))(merged)
+    got_pred = np.moveaxis(np.asarray(out)[:, 1], -1, 1)
+    np.testing.assert_allclose(got_pred, want_pred, atol=3e-4)
+
+    got_attb = np.moveaxis(np.asarray(lb)[:, 0], -1, 1)  # [B, w*w, h, w]
+    np.testing.assert_allclose(got_attb, want_attb, atol=3e-4)

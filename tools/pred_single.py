@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Single-frame baseline inference (reference pred_single.py): FullModel on
+the center frame with synthesized trimaps; writes pred/tri PNGs and prints
+inline mSAD / MSE over the unknown region.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tcvom_tpu.data.loader import DataLoader
+from tcvom_tpu.data.vmd import VideoMattingDataset
+from tcvom_tpu.infer.predict import (TRIMAP_DILATION, make_single_eval_step,
+                                     write_pred_pngs)
+from tcvom_tpu.models import registry
+from tcvom_tpu.models.full_model import TaskConfig
+from tcvom_tpu.train.trainer import MattingTrainer
+from tcvom_tpu.utils.checkpoint import load_weights
+from tcvom_tpu.utils.logging import print_loss_dict
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True,
+                   choices=["gca", "dim", "fba", "index"])
+    p.add_argument("--data", required=True)
+    p.add_argument("--load", required=True)
+    p.add_argument("--n_threads", type=int, default=8)
+    p.add_argument("--subset", action="store_true")
+    p.add_argument("--save", default=None)
+    p.add_argument("--trimap", required=True,
+                   choices=["narrow", "medium", "wide"])
+    p.add_argument("--image_shape", type=int, nargs=2, default=(1088, 1920))
+    p.add_argument("--batch", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.save is None:
+        args.save = "results/{}/{}/{}".format(
+            "single_subset" if args.subset else "single", args.trimap,
+            os.path.splitext(os.path.basename(args.load))[0])
+    os.makedirs(args.save, exist_ok=True)
+
+    cfg = TaskConfig(model=args.model,
+                     dilate_radius=TRIMAP_DILATION[args.trimap])
+    module = registry.build_model(args.model)
+
+    dataset = VideoMattingDataset(
+        data_root=args.data, image_shape=tuple(args.image_shape), mode="val",
+        use_subset=args.subset, plus1=False, precomputed_val=args.data,
+        sample_length=3, no_flow=True)
+    loader = DataLoader(dataset, args.batch or max(1, len(jax.devices())),
+                        shuffle=False, drop_last=False,
+                        num_workers=args.n_threads)
+
+    trainer = MattingTrainer(cfg, "single")
+    sample = dataset[0]
+    init_batch = {k: jnp.asarray(sample[k])[None] for k in ("a", "fg", "bg")}
+    state = trainer.init_state(jax.random.PRNGKey(0), init_batch)
+    variables, _, _ = load_weights(args.model, state.variables, args.load)
+
+    step = make_single_eval_step(module, cfg)
+    c = dataset.sample_length // 2
+    key = jax.random.PRNGKey(1)
+    msad, mse, count = 0.0, 0.0, 0
+    for batch_np in loader:
+        dev = {k: jnp.asarray(batch_np[k]) for k in ("a", "fg", "bg")}
+        key, sub = jax.random.split(key)
+        losses, alphas, tris = step(variables, dev, sub)
+        alphas, tris = np.asarray(alphas), np.asarray(tris)
+        gts = batch_np["a"][:, c] / 255.0
+        for i in range(alphas.shape[0]):
+            t = tris[i, ..., 0]
+            m = (t > 0) & (t < 1)
+            if m.sum():
+                d = alphas[i, ..., 0][m] - gts[i, ..., 0][m]
+                msad += float(np.mean(np.abs(d)))
+                mse += float(np.mean(d * d))
+                count += 1
+        names = [dataset.samples[int(i)][c] for i in batch_np["idx"]]
+        write_pred_pngs(args.save, names, alphas, tris,
+                        crop_hw=(min(1080, alphas.shape[1]), alphas.shape[2]))
+        print(names[-1])
+    print_loss_dict({"mSAD": msad / max(count, 1), "MSE": mse / max(count, 1)},
+                    os.path.join(args.save, "loss.log"))
+
+
+if __name__ == "__main__":
+    main()
