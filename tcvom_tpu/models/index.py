@@ -153,22 +153,25 @@ class IndexMattingEncoder(nn.Module):
             return h
 
         def index_pool(h, name):
+            # NOTE: the reference re-binds the skip feature to idx_en * h
+            # before pooling (net.py:199-224) — the decoder consumes the
+            # index-weighted maps, so we return the multiplied tensor.
             idx_en, idx_de = DepthwiseM2OIndexBlock(h.shape[-1], name=name)(h, train)
             h = idx_en * h
-            return 4.0 * avg_pool(h, 2, 2), idx_de
+            return 4.0 * avg_pool(h, 2, 2), h, idx_de
 
         l0 = ConvBN(32, 3, 1, name="layer0")(x, train)
-        l0p, idx0_de = index_pool(l0, "index0")
+        l0p, l0, idx0_de = index_pool(l0, "index0")
         l1 = run_layer(l0p, 1)
         l2 = run_layer(l1, 2)
-        l2p, idx2_de = index_pool(l2, "index2")
+        l2p, l2, idx2_de = index_pool(l2, "index2")
         l3 = run_layer(l2p, 3)
-        l3p, idx3_de = index_pool(l3, "index3")
+        l3p, l3, idx3_de = index_pool(l3, "index3")
         l4 = run_layer(l3p, 4)
-        l4p, idx4_de = index_pool(l4, "index4")
+        l4p, l4, idx4_de = index_pool(l4, "index4")
         l5 = run_layer(l4p, 5)
         l6 = run_layer(l5, 6)
-        l6p, idx6_de = index_pool(l6, "index6")
+        l6p, l6, idx6_de = index_pool(l6, "index6")
         l7 = run_layer(l6p, 7)
         l = ASPP(160, name="dconv_pp")(l7, train)
         return {"l": l, "l6": l6, "idx6_de": idx6_de, "l5": l5, "l4": l4,

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tcvom_tpu.models.layers import Conv
-from tcvom_tpu.ops.fam import fam_attention
+from tcvom_tpu.ops.fam_pallas import fam_attention  # pallas on TPU, XLA on CPU
 from tcvom_tpu.ops.image import resize_nearest
 
 
