@@ -169,6 +169,19 @@ class MattingTrainer:
                           model_state=new_state, opt_state=new_opt), metrics
 
     @functools.partial(jax.jit, static_argnums=0)
+    def vis_step(self, state: TrainState, batch, rng):
+        """Forward returning the visualization tensors for the periodic
+        image dumps (reference write_image, train_ddp.py:27-38, 99-100)."""
+        _, aux, _ = self._forward(self.module, state.variables, rng, batch,
+                                  self.cfg, train=False)
+        pre = aux["pre"]
+        return {"pre": {"scaled_imgs": pre["scaled_imgs"],
+                        "trimasks": pre["trimasks"],
+                        "scaled_gts": pre["scaled_gts"]},
+                "alphas": aux["alphas"], "comps": aux["comps"],
+                "Fs": aux["Fs"], "Bs": aux["Bs"]}
+
+    @functools.partial(jax.jit, static_argnums=0)
     def eval_step(self, state: TrainState, batch, rng):
         losses, aux, _ = self._forward(self.module, state.variables, rng,
                                        batch, self.cfg, train=False)

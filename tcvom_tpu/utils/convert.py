@@ -290,6 +290,18 @@ def convert_state_dict(model_name: str, state_dict: dict) -> tuple[dict, list[st
     return out, unmatched
 
 
+def widen_conv_in_channels(kernel_hwio: np.ndarray, new_in: int) -> np.ndarray:
+    """Widen a conv kernel's input channels with zeros — the reference's
+    checkpoint surgeries: FBA conv1 3->11 (models/FBA/models.py:47-64),
+    ImageNet ResNet conv1 3->4/6 (train_single_ddp.py:186-196), GCA trimap
+    channel zeroing (encoders/resnet_enc.py:101)."""
+    kh, kw, cin, cout = kernel_hwio.shape
+    assert new_in >= cin
+    out = np.zeros((kh, kw, new_in, cout), kernel_hwio.dtype)
+    out[:, :, :cin] = kernel_hwio
+    return out
+
+
 def merge_variables(init_vars: dict, loaded: dict):
     """Partial load: overlay ``loaded`` onto ``init_vars`` where paths match
     AND shapes agree. Returns (merged, missing_paths, unexpected_paths) —

@@ -2,7 +2,10 @@
 anywhere (the idiomatic JAX stand-in for a multi-chip mesh)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set CPU: the ambient environment pins JAX_PLATFORMS to the TPU
+# plugin, but the suite must run on the virtual 8-device CPU mesh (and not
+# contend for / depend on the single TPU chip).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -42,6 +42,8 @@ def build_argparser():
     p.add_argument("--sample_length", type=int, default=None)
     p.add_argument("--eps", type=float, default=0.0,
                    help="alpha snapping for pretrain (1e-2 in pretrain_ddp)")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of steps 10-20 here")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p
 
@@ -121,6 +123,10 @@ def main():
         batch_time, ave_loss = AverageMeter(), AverageMeter()
         tic = time.time()
         for i_iter, batch in enumerate(train_loader):
+            if args.profile_dir and epoch == start_epoch and i_iter == 10:
+                jax.profiler.start_trace(args.profile_dir)
+            if args.profile_dir and epoch == start_epoch and i_iter == 20:
+                jax.profiler.stop_trace()
             dev_batch = shard_batch(
                 {k: batch[k] for k in ("a", "fg", "bg")}, mesh)
             key, sub = jax.random.split(key)
@@ -142,6 +148,13 @@ def main():
                     msg += (f" L_dt: {float(metrics['L_dt']):.4f}"
                             f" L_att: {float(metrics['L_att']):.4f}")
                 logger.info(msg)
+
+            if i_iter % cfg.TRAIN.IMAGE_FREQ == 0:
+                from tcvom_tpu.utils.visualize import write_training_images
+                key, sub = jax.random.split(key)
+                aux = jax.device_get(trainer.vis_step(state, dev_batch, sub))
+                write_training_images(os.path.join(outdir, "training_images"),
+                                      aux, epoch * steps_per_epoch + i_iter)
 
         # validation L_dt indicator (epochs >= 15, train_ddp.py:322)
         val_loss = best_loss
