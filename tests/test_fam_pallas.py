@@ -19,8 +19,7 @@ def test_fam_pallas_interpret_matches_xla(rng, shape, window):
     mask = jnp.asarray((rng.rand(b, h, w, 1) > 0.4).astype(np.float32))
 
     want_out, want_lg = fam_xla(q, k, mask, window)
-    with pltpu.force_tpu_interpret_mode():
-        got_out, got_lg = _fam_pallas_fwd(q, k, mask, window)
+    got_out, got_lg = _fam_pallas_fwd(q, k, mask, window, interpret=True)
     np.testing.assert_allclose(np.asarray(got_lg), np.asarray(want_lg),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
