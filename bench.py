@@ -46,26 +46,33 @@ def main():
         x, masks, extras=extras, train=False))()
 
     rng = np.random.RandomState(0)
-    imgs = jnp.asarray(rng.randint(0, 256, (b, s, h, w, 3)).astype(np.float32))
-    tri = np.zeros((b, s, h, w, 1), np.float32)
-    tri[:, :, 300:800, 500:1400] = 128.0
-    tri[:, :, 450:650, 700:1200] = 255.0
-    tris = jnp.asarray(tri)
+    img = rng.randint(0, 256, (b, h, w, 3)).astype(np.float32)
+    tri = np.zeros((b, h, w, 1), np.float32)
+    tri[:, 300:800, 500:1400] = 128.0
+    tri[:, 450:650, 700:1200] = 255.0
+    # device-resident inputs: measure the compute pipeline, not the host
+    # link (real deployments overlap frame uploads with compute)
+    img = jax.device_put(jnp.asarray(img))
+    tri = jax.device_put(jnp.asarray(tri))
 
-    fwd = jax.jit(lambda v, i, t: FM.forward_eval(module, v, i, t, cfg))
+    # streaming sliding-window pipeline: one encode + one decode per matte
+    from tcvom_tpu.infer.predict import StreamingPredictor
+    sp = StreamingPredictor(module, variables, cfg)
 
-    # warmup / compile
-    out = fwd(variables, imgs, tris)
+    # warmup / compile (2 steps exercise both jitted paths)
+    state, _ = sp.step(None, img, tri)
+    state, _ = sp.step(state, img, tri)
+    state, out = sp.step(state, img, tri)
     jax.block_until_ready(out)
 
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fwd(variables, imgs, tris)
+        state, out = sp.step(state, img, tri)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
-    # each step produces one new center-frame matte (sliding window)
+    # each steady-state step yields one new 1080p matte
     fps = iters / dt
     print(json.dumps({
         "metric": "FBA+TAM 1080p inference frames/sec/chip",

@@ -82,6 +82,92 @@ def write_pred_pngs(save_dir: str, names: list[str], alphas: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Streaming sliding-window pipeline (the production inference path)
+# ---------------------------------------------------------------------------
+
+class StreamingPredictor:
+    """Sliding 3-frame VMN inference with cached per-frame features.
+
+    The reference (pred_vmn.py / pred_test.py) re-encodes every frame of
+    each window — 3 encoder passes per output matte. Here each frame is
+    encoded exactly once (``encode`` caches the backbone + extract-half
+    outputs); each new matte costs one encode + one FAM-and-decode step:
+    ~3x fewer FLOPs at identical numerics.
+
+    Usage::
+
+        sp = StreamingPredictor(module, variables, cfg)
+        state = None
+        for img, tri in frames:          # [B, H, W, {3,1}] uint8-range
+            state, out = sp.step(state, img, tri)
+            if out is not None: ...      # matte for the previous frame
+    """
+
+    def __init__(self, module, variables, cfg: FM.TaskConfig):
+        assert cfg.is_vmn, "streaming pipeline drives VMN models"
+        self.module = module
+        self.variables = variables
+        self.cfg = cfg
+        self._encode = jax.jit(self._encode_impl)
+        self._decode = jax.jit(self._decode_impl)
+
+    def _encode_impl(self, variables, img, tri):
+        cfg = self.cfg
+        pre = FM.preprocess_eval(img[:, None], tri[:, None], cfg)
+        inputs = jnp.concatenate([pre["imgs"], pre["tris"]], axis=-1)[:, 0]
+        extras = None
+        if cfg.method == "fba":
+            extras = (pre["scaled_imgs"][:, 0], pre["tris"][:, 0, ..., -2:])
+        enc, feat = self.module.apply(
+            variables, inputs, extras=extras, train=False,
+            method=type(self.module).encode_extract)
+        return dict(enc=enc, feat=feat, trimask=pre["trimasks"][:, 0],
+                    gt_tri=tri * FM.IMG_SCALE,
+                    scaled_img=pre["scaled_imgs"][:, 0])
+
+    def _decode_impl(self, variables, prev, cur, nxt):
+        cfg = self.cfg
+        pred, attb, attf, _ = self.module.apply(
+            variables, cur["enc"], cur["feat"], prev["feat"], nxt["feat"],
+            cur["trimask"], train=False,
+            method=type(self.module).decode_window)
+        mask = cur["trimask"] > 0.5
+        alpha = jnp.where(mask, pred[..., 0:1], cur["gt_tri"])
+        if cfg.method == "fba":
+            f = jnp.where(mask, pred[..., 1:4], cur["scaled_img"])
+            b = jnp.where(mask, pred[..., 4:7], cur["scaled_img"])
+            return alpha, f, b
+        return alpha
+
+    def step(self, state, img, tri):
+        """Feed one frame; returns (state, matte-or-None).
+
+        Clip edges reflect like the reference's sample parser
+        (dataset/VMD.py:168-184): frame 0's window is [f1, f0, f1], and
+        :meth:`flush` emits the last frame's matte with [fN-2, fN-1, fN-2].
+        The matte returned by the i-th call (i >= 1) is for frame i-1.
+        """
+        frame = self._encode(self.variables, jnp.asarray(img), jnp.asarray(tri))
+        if state is None:
+            return ("first", frame), None
+        if state[0] == "first":
+            f0 = state[1]
+            out0 = self._decode(self.variables, frame, f0, frame)
+            return (f0, frame), out0
+        prev, cur = state
+        out = self._decode(self.variables, prev, cur, frame)
+        return (cur, frame), out
+
+    def flush(self, state):
+        """Emit the final frame's matte (reflected next neighbor)."""
+        if state[0] == "first":       # single-frame clip
+            f = state[1]
+            return self._decode(self.variables, f, f, f)
+        prev, cur = state
+        return self._decode(self.variables, prev, cur, prev)
+
+
+# ---------------------------------------------------------------------------
 # Wild-video test folders (pred_test.py)
 # ---------------------------------------------------------------------------
 
@@ -124,9 +210,39 @@ class TestFolder:
 def predict_test_folder(module, variables, cfg: FM.TaskConfig, in_dir: str,
                         out_dir: str, progress: Callable | None = None):
     """EvalModel inference over a wild folder; writes <name>_alpha.png
-    (reference pred_test.py:86-116)."""
+    (reference pred_test.py:86-116). VMN models run the streaming pipeline
+    (one encode per frame); single-frame models run per-frame."""
     folder = TestFolder(in_dir)
     os.makedirs(out_dir, exist_ok=True)
+
+    def write(name, alpha, hw):
+        h, w = hw
+        cv2.imwrite(os.path.join(out_dir, name + "_alpha.png"),
+                    np.uint8(np.clip(np.asarray(alpha)[0, :h, :w, 0], 0, 1) * 255))
+
+    if cfg.is_vmn:
+        sp = StreamingPredictor(module, variables, cfg)
+        state = None
+        pending = []        # (name, orig_hw) awaiting their matte
+        for i in range(len(folder)):
+            item = folder[i]
+            img = item["imgs"][1][None]          # the new frame
+            tri = item["tris"][1][None]
+            state, out = sp.step(state, img, tri)
+            pending.append((item["name"], tuple(item["orig_hw"])))
+            if out is not None:
+                alpha = out[0] if isinstance(out, tuple) else out
+                name, hw = pending.pop(0)
+                write(name, alpha, hw)
+                if progress:
+                    progress(i, len(folder))
+        if state is not None and pending:
+            out = sp.flush(state)
+            alpha = out[0] if isinstance(out, tuple) else out
+            name, hw = pending.pop(0)
+            write(name, alpha, hw)
+        return
+
     step = jax.jit(lambda v, imgs, tris: FM.forward_eval(module, v, imgs, tris, cfg))
     for i in range(len(folder)):
         item = folder[i]
@@ -134,9 +250,6 @@ def predict_test_folder(module, variables, cfg: FM.TaskConfig, in_dir: str,
                    jnp.asarray(item["tris"])[None])
         alphas = out[0] if isinstance(out, tuple) else out
         c = item["imgs"].shape[0] // 2
-        h, w = item["orig_hw"]
-        a = np.asarray(alphas)[0, c, :h, :w, 0]
-        cv2.imwrite(os.path.join(out_dir, item["name"] + "_alpha.png"),
-                    np.uint8(np.clip(a, 0, 1) * 255))
+        write(item["name"], alphas[:, c], tuple(item["orig_hw"]))
         if progress:
             progress(i, len(folder))

@@ -73,9 +73,31 @@ class VMN(nn.Module):
     agg_reduction: int = 1
     freeze_backbone: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.fam = FeatureAggregationModule(self.fam_channels,
+                                            self.agg_reduction,
+                                            self.agg_window)
+
+    def encode_extract(self, images, extras=None, train: bool = False):
+        """Per-frame half: encoder + decoder feature-extract. ``images``:
+        [N, H, W, Cin]. Returns (enc pytree, OS=8 features) — the cacheable
+        state of a sliding-window pipeline."""
+        enc = self.encoder(images, train=train)
+        if extras is not None:
+            enc = dict(enc)
+            enc["extras"] = extras
+        feat = self.decoder(enc, train=train, mode="extract")
+        return enc, feat
+
+    def decode_window(self, enc_c, x_c, x_b, x_f, mask, train: bool = False):
+        """Center-frame half: FAM over (prev, cur, next) cached features +
+        decoder head. Returns (pred, attb, attf, small_mask)."""
+        agg, attb, attf, small_mask = self.fam(x_c, x_b, x_f, mask)
+        pred = self.decoder(enc_c, train=train, mode="head", x=agg)
+        return pred, attb, attf, small_mask
+
     def __call__(self, images, masks, extras=None, train: bool = False):
-        """images: [B, S, H, W, Cin]; masks: [B, S, H, W, 1] unknown region.
+        """Full-clip forward. images: [B, S, H, W, Cin]; masks: [B, S, H, W, 1] unknown region.
         ``extras``: optional pytree with leading [B, S] (e.g. FBA's raw image
         + 2ch trimap) forwarded to the decoder.
 
@@ -106,9 +128,7 @@ class VMN(nn.Module):
         def fold(t):
             return t.reshape((b * (s - 2),) + t.shape[2:])
 
-        fam = FeatureAggregationModule(self.fam_channels, self.agg_reduction,
-                                       self.agg_window, name="fam")
-        agg, attb, attf, small_mask = fam(
+        agg, attb, attf, small_mask = self.fam(
             fold(x_c), fold(x_b), fold(x_f), fold(masks[:, 1:s - 1]))
 
         enc_mid = jax.tree.map(

@@ -1,0 +1,41 @@
+"""Streaming sliding-window pipeline must match the batch EvalModel path."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tcvom_tpu.infer.predict import StreamingPredictor
+from tcvom_tpu.models import full_model as FM
+from tcvom_tpu.models import registry
+
+H = W = 64
+
+
+def test_streaming_matches_forward_eval(rng):
+    name = "vmn_dim"
+    cfg = FM.TaskConfig(model=name, agg_window=3)
+    module = registry.build_model(name, agg_window=3)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 3, H, W, 4))
+    masks = jnp.ones((1, 3, H, W, 1))
+    variables = jax.jit(lambda: module.init(
+        {"params": key, "dropout": key}, x, masks, train=False))()
+
+    imgs = rng.randint(0, 256, (1, 3, H, W, 3)).astype(np.float32)
+    tri = np.zeros((1, 3, H, W, 1), np.float32)
+    tri[:, :, 20:50, 10:60] = 128.0
+    tri[:, :, 30:40, 25:45] = 255.0
+
+    want = jax.jit(lambda v: FM.forward_eval(
+        module, v, jnp.asarray(imgs), jnp.asarray(tri), cfg))(variables)
+    want_center = np.asarray(want)[0, 1]      # frame 1's matte
+
+    sp = StreamingPredictor(module, variables, cfg)
+    state, o0 = sp.step(None, imgs[:, 0], tri[:, 0])
+    state, o1 = sp.step(state, imgs[:, 1], tri[:, 1])   # matte for frame 0
+    state, o2 = sp.step(state, imgs[:, 2], tri[:, 2])   # matte for frame 1
+    last = sp.flush(state)                               # matte for frame 2
+    assert o0 is None and o1 is not None and last is not None
+
+    got_center = np.asarray(o2)[0]
+    np.testing.assert_allclose(got_center, want_center, atol=1e-5)
