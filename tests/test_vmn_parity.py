@@ -31,20 +31,27 @@ S = 3
 
 
 @pytest.mark.slow
-def test_vmn_dim_parity(rng):
+def test_vmn_dim_parity(rng, monkeypatch):
     from models.VMN import get_VMN_models
+    # the reference FAM scatters onto torch.cuda.current_device()
+    # (VMN_model.py:47,54); route it to CPU for the golden run
+    monkeypatch.setattr(torch.cuda, "current_device", lambda: "cpu")
     torch.manual_seed(0)
-    ref = get_VMN_models(arch="vmn_dim", agg_window=3).eval()
+    ref = get_VMN_models(arch="vmn_dim", agg_window=3)
+    ref.eval()   # NB: the reference VMN.train() override returns None
 
     imgs = rng.randn(1, S, 4, H, W).astype(np.float32)
     mask = (rng.rand(1, S, 1, H, W) > 0.3).astype(np.float32)
 
     t_imgs = [torch.from_numpy(imgs[:, i:i + 1]) for i in range(S)]
-    t_masks = [torch.from_numpy(mask[:, i]) for i in range(S)]
+    # the reference wrapper passes [B, 1, 1, H, W] per frame (split along S
+    # keeps the dim) and VMN.forward squeezes dim 1
+    t_masks = [torch.from_numpy(mask[:, i:i + 1]) for i in range(S)]
     with torch.no_grad():
         preds, attb, attf, small_mask = ref(t_imgs, t_masks)
     want_pred = preds[1].numpy()
-    want_attb = attb[1].numpy()          # [B, w*w, h, w] dense logits
+    # reference logits layout: [B, window^2, H*W] (VMN_model.py:47-49)
+    want_attb = attb[1].numpy().reshape(1, 9, H // 8, W // 8)
 
     name = "vmn_dim"
     module = registry.build_model(name, agg_window=3)
