@@ -92,16 +92,20 @@ def make_trimap(key: jax.Array, alpha: jnp.ndarray, cfg: TaskConfig
 
 
 def preprocess(key: jax.Array, a, fg, bg, cfg: TaskConfig):
-    """Compose, normalize and synthesize trimaps (models/model.py:82-92)."""
+    """Compose, normalize and synthesize trimaps (models/model.py:82-92).
+    Runs under stop_gradient like the reference's ``torch.no_grad()`` block
+    (model.py:84) — no gradients flow into data synthesis (and the EDT's
+    iterative min-plus machinery never enters the backward graph)."""
     scaled_gts = a * IMG_SCALE
     scaled_fgs = fg[..., ::-1] * IMG_SCALE        # BGR -> RGB
     scaled_bgs = bg[..., ::-1] * IMG_SCALE
     scaled_imgs = scaled_fgs * scaled_gts + scaled_bgs * (1.0 - scaled_gts)
     tris, trimasks = make_trimap(key, scaled_gts, cfg)
     imgs = (scaled_imgs - IMG_MEAN) / IMG_STD
-    return dict(scaled_imgs=scaled_imgs, scaled_fgs=scaled_fgs,
-                scaled_bgs=scaled_bgs, scaled_gts=scaled_gts,
-                tris=tris, trimasks=trimasks, imgs=imgs)
+    return jax.lax.stop_gradient(
+        dict(scaled_imgs=scaled_imgs, scaled_fgs=scaled_fgs,
+             scaled_bgs=scaled_bgs, scaled_gts=scaled_gts,
+             tris=tris, trimasks=trimasks, imgs=imgs))
 
 
 def preprocess_eval(img, tri, cfg: TaskConfig):

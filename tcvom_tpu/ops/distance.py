@@ -43,11 +43,18 @@ def _dist1d_along_axis(seed: jnp.ndarray, axis: int) -> jnp.ndarray:
     return d
 
 
-def edt_squared(seed: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
-    """Exact squared Euclidean distance to the nearest True pixel.
+def edt_squared(seed: jnp.ndarray, chunk: int = 128,
+                truncate: int | None = None) -> jnp.ndarray:
+    """Squared Euclidean distance to the nearest True pixel.
 
     ``seed``: bool ``[..., H, W]``. Returns float32 of the same shape; pixels
     with no seed anywhere get a huge finite value (so ``exp(-d2/s)`` is 0).
+
+    ``truncate``: if set, the row pass only searches within +-truncate
+    columns — exact wherever the true distance is <= truncate, and
+    >= truncate^2 elsewhere. The Gaussian click encoding underflows well
+    inside 256px for its largest sigma, so truncation there is lossless
+    in the outputs while cutting the min-plus work ~W/(2*truncate)x.
     """
     g = _dist1d_along_axis(seed, axis=seed.ndim - 2)       # column distances
     g2 = jnp.minimum(g * g, _BIG)                           # cap for safety
@@ -57,21 +64,47 @@ def edt_squared(seed: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
     nchunks = -(-w // chunk)
     pad_w = nchunks * chunk - w
     g2p = jnp.pad(g2, [(0, 0)] * (g2.ndim - 1) + [(0, pad_w)], constant_values=_BIG)
-    kpos = jnp.pad(cols, (0, pad_w))
-    g2c = g2p.reshape(g2.shape[:-1] + (nchunks, chunk))
-    kc = kpos.reshape(nchunks, chunk)
+    g2c = g2p.reshape(g2.shape[:-1] + (nchunks, chunk))     # [..., nc, C]
 
-    def body(carry, inp):
-        gk, kk = inp                       # [..., chunk], [chunk]
-        # cand[..., j] = min_k (gk[..., k] + (kk[k] - j)^2)
-        diff = kk[:, None] - cols[None, :]                     # [chunk, W]
-        cand = jnp.min(gk[..., :, None] + diff * diff, axis=-2)
-        return jnp.minimum(carry, cand), None
+    if truncate is None:
+        kpos = jnp.pad(cols, (0, pad_w))
+        kc = kpos.reshape(nchunks, chunk)
 
-    init = jnp.full(g2.shape, _BIG, jnp.float32)
-    g2c_t = jnp.moveaxis(g2c, -2, 0)       # [nchunks, ..., chunk]
-    out, _ = lax.scan(body, init, (g2c_t, kc))
-    return out
+        def body(carry, inp):
+            gk, kk = inp                   # [..., chunk], [chunk]
+            diff = kk[:, None] - cols[None, :]                 # [chunk, W]
+            cand = jnp.min(gk[..., :, None] + diff * diff, axis=-2)
+            return jnp.minimum(carry, cand), None
+
+        init = jnp.full(g2.shape, _BIG, jnp.float32)
+        g2c_t = jnp.moveaxis(g2c, -2, 0)   # [nchunks, ..., chunk]
+        out, _ = lax.scan(body, init, (g2c_t, kc))
+        return out
+
+    # truncated: each output chunk only sees neighbor chunks within radius
+    n_off = -(-truncate // chunk)
+    out = jnp.full(g2c.shape, _BIG, jnp.float32)            # [..., nc, C]
+    kk = jnp.arange(chunk, dtype=jnp.float32)
+    for o in range(-n_off, n_off + 1):
+        # neighbor chunk i+o contributes to output chunk i
+        if abs(o) >= nchunks:
+            continue
+        if o > 0:
+            nb = jnp.concatenate(
+                [g2c[..., o:, :],
+                 jnp.full(g2c.shape[:-2] + (o, chunk), _BIG, jnp.float32)],
+                axis=-2)
+        elif o < 0:
+            nb = jnp.concatenate(
+                [jnp.full(g2c.shape[:-2] + (-o, chunk), _BIG, jnp.float32),
+                 g2c[..., :o, :]], axis=-2)
+        else:
+            nb = g2c
+        diff = (kk[:, None] + o * chunk) - kk[None, :]       # [C_k, C_j]
+        cand = jnp.min(nb[..., :, None] + diff * diff, axis=-2)
+        out = jnp.minimum(out, cand)
+    out = out.reshape(g2p.shape)
+    return out[..., :w] if pad_w else out
 
 
 def trimap_transform(trimap2: jnp.ndarray, length: float = 320.0) -> jnp.ndarray:
@@ -81,11 +114,14 @@ def trimap_transform(trimap2: jnp.ndarray, length: float = 320.0) -> jnp.ndarray
     ``[..., H, W, 6]`` with channels ``exp(-d2/(2*(s*L)^2))`` for
     s in (0.02, 0.08, 0.16) per input channel — reference
     utils/utils.py:25-39 (channel k maps to outputs 3k..3k+2).
+
+    Distances are truncated at 256px: the widest Gaussian (sigma = 51.2)
+    underflows to ~7e-7 there, so every output channel is unchanged.
     """
     outs = []
     for k in range(2):
         tk = trimap2[..., k]
-        d2 = edt_squared(tk >= 0.5)
+        d2 = edt_squared(tk >= 0.5, truncate=256)
         for s in (0.02, 0.08, 0.16):
             sigma2 = 2.0 * (s * length) ** 2
             outs.append(jnp.exp(-d2 / sigma2))

@@ -93,7 +93,9 @@ def avg_pool(x: jnp.ndarray, window: int, stride: int | None = None,
     dims = (1,) * nb + (window, window, 1)
     strides = (1,) * nb + (stride, stride, 1)
     pads = [(0, 0)] * nb + [(padding, padding), (padding, padding), (0, 0)]
-    s = lax.reduce_window(x, jnp.array(0, x.dtype), lax.add, dims, strides, pads)
+    # Python-scalar init keeps the differentiable reduce_window_sum dispatch
+    s = lax.reduce_window(x, 0.0 if jnp.issubdtype(x.dtype, jnp.floating) else 0,
+                          lax.add, dims, strides, pads)
     return s / (window * window)
 
 
@@ -105,8 +107,10 @@ def max_pool(x: jnp.ndarray, window: int, stride: int | None = None,
     dims = (1,) * nb + (window, window, 1)
     strides = (1,) * nb + (stride, stride, 1)
     pads = [(0, 0)] * nb + [(padding, padding), (padding, padding), (0, 0)]
-    neg = jnp.array(-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
-                    x.dtype)
+    # NB: the init value must be a Python scalar — a traced array defeats
+    # the dispatch to the differentiable reduce_window_max primitive.
+    neg = (-float("inf") if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.iinfo(x.dtype).min)
     return lax.reduce_window(x, neg, lax.max, dims, strides, pads)
 
 

@@ -149,7 +149,9 @@ class MattingTrainer:
     # -- steps ---------------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: TrainState, batch, rng):
-        mutable_keys = list(state.model_state.keys())
+        # False (not []) when the model has no mutable collections (e.g.
+        # FBA: GroupNorm only) — flax returns a bare output then
+        mutable_keys = list(state.model_state.keys()) or False
 
         def loss_fn(params):
             variables = {"params": params, **state.model_state}
@@ -165,6 +167,8 @@ class MattingTrainer:
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"loss": total, **losses,
                    "lr": self.lr_schedule(state.step)}
+        if new_state is None:        # no mutable collections in this model
+            new_state = state.model_state
         return TrainState(step=state.step + 1, params=new_params,
                           model_state=new_state, opt_state=new_opt), metrics
 
