@@ -56,8 +56,10 @@ def main():
     tri = jax.device_put(jnp.asarray(tri))
 
     # streaming sliding-window pipeline: one encode + one decode per matte
+    import os
     from tcvom_tpu.infer.predict import StreamingPredictor
-    sp = StreamingPredictor(module, variables, cfg)
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bf16" else None
+    sp = StreamingPredictor(module, variables, cfg, dtype=dtype)
 
     # warmup / compile (2 steps exercise both jitted paths)
     state, _ = sp.step(None, img, tri)

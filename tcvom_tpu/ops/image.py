@@ -52,13 +52,32 @@ def _interp_axis(x: jnp.ndarray, out_size: int, axis: int, align_corners: bool) 
     return _gather_axis(x, lo, axis) * (1 - w) + _gather_axis(x, hi, axis) * w
 
 
+def _upsample2x_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x bilinear upsampling (half-pixel centers) along ``axis`` as
+    shifts + interleave — no gathers, so XLA lowers it to cheap fused
+    adds instead of a full-tensor gather (the decoder hot path)."""
+    n = x.shape[axis]
+    lo = jnp.concatenate([lax.slice_in_dim(x, 0, 1, axis=axis),
+                          lax.slice_in_dim(x, 0, n - 1, axis=axis)], axis=axis)
+    hi = jnp.concatenate([lax.slice_in_dim(x, 1, n, axis=axis),
+                          lax.slice_in_dim(x, n - 1, n, axis=axis)], axis=axis)
+    even = 0.75 * x + 0.25 * lo          # out[2i]   = .25*in[i-1] + .75*in[i]
+    odd = 0.75 * x + 0.25 * hi           # out[2i+1] = .75*in[i] + .25*in[i+1]
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    return stacked.reshape(x.shape[:axis] + (2 * n,) + x.shape[axis + 1:])
+
+
 def resize_bilinear(x: jnp.ndarray, size: Sequence[int], align_corners: bool = False) -> jnp.ndarray:
     """Bilinear resize of ``[..., H, W, C]`` matching torch ``F.interpolate``.
 
     ``align_corners=False`` uses half-pixel centers (torch default);
     ``align_corners=True`` uses corner-aligned sampling. Both are separable.
+    Exact 2x upsampling takes a structured shift/interleave path.
     """
     h_axis, w_axis = x.ndim - 3, x.ndim - 2
+    if not align_corners and size[0] == 2 * x.shape[h_axis] \
+            and size[1] == 2 * x.shape[w_axis]:
+        return _upsample2x_axis(_upsample2x_axis(x, h_axis), w_axis)
     if x.shape[h_axis] != size[0]:
         x = _interp_axis(x, int(size[0]), h_axis, align_corners)
     if x.shape[w_axis] != size[1]:
@@ -66,12 +85,26 @@ def resize_bilinear(x: jnp.ndarray, size: Sequence[int], align_corners: bool = F
     return x
 
 
+def _repeat_axis(x: jnp.ndarray, r: int, axis: int) -> jnp.ndarray:
+    n = x.shape[axis]
+    b = jnp.broadcast_to(jnp.expand_dims(x, axis + 1),
+                         x.shape[:axis + 1] + (r,) + x.shape[axis + 1:])
+    return b.reshape(x.shape[:axis] + (n * r,) + x.shape[axis + 1:])
+
+
 def resize_nearest(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
     """Nearest resize matching torch ``F.interpolate(mode='nearest')``:
-    ``src = floor(dst * in/out)``."""
+    ``src = floor(dst * in/out)``. Integer upscaling is a broadcast-repeat
+    (no gathers)."""
     h_axis, w_axis = x.ndim - 3, x.ndim - 2
     in_h, in_w = x.shape[h_axis], x.shape[w_axis]
     out_h, out_w = int(size[0]), int(size[1])
+    if out_h % in_h == 0 and out_w % in_w == 0:
+        if out_h != in_h:
+            x = _repeat_axis(x, out_h // in_h, h_axis)
+        if out_w != in_w:
+            x = _repeat_axis(x, out_w // in_w, w_axis)
+        return x
     if in_h != out_h:
         idx = jnp.floor(jnp.arange(out_h, dtype=jnp.float32) * (in_h / out_h)).astype(jnp.int32)
         x = jnp.take(x, jnp.clip(idx, 0, in_h - 1), axis=h_axis)

@@ -40,6 +40,33 @@ def l1_mask(x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray | None = None,
     return jnp.sum(res)
 
 
+def l1_mask_hard_mining(x: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Hard-example mining L1 (reference loss_func.py:25-38, kept for API
+    parity; no reference driver uses it). Per sample, keeps only masked
+    pixels whose channel-summed residual exceeds that sample's masked
+    median; returns (loss, new_mask).
+
+    Shape-static reformulation of the reference's boolean-indexed sort: the
+    median is a masked 50th percentile over the dense map.
+    """
+    res = jnp.sum(jnp.abs(x - y), axis=-1, keepdims=True)    # [B, H, W, 1]
+    m = mask > 0.5
+    b = x.shape[0]
+    flat = res.reshape(b, -1)
+    mflat = m.reshape(b, -1)
+    # masked median: sort residuals with unmasked entries pushed to +inf,
+    # pick the element at index floor(count * 0.5)
+    big = jnp.where(mflat, flat, jnp.inf)
+    srt = jnp.sort(big, axis=1)
+    cnt = jnp.sum(mflat, axis=1)
+    idx = jnp.clip((cnt * 0.5).astype(jnp.int32), 0, flat.shape[1] - 1)
+    thresh = jnp.take_along_axis(srt, idx[:, None], axis=1)   # [B, 1]
+    new_mask = (m & (flat > thresh)[..., None].reshape(res.shape)).astype(x.dtype)
+    total = jnp.sum(res * new_mask) / jnp.maximum(jnp.sum(new_mask), 1.0)
+    return total, new_mask
+
+
 def l1_grad(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray | None = None,
             epsilon: float = EPSILON, normalize: bool = True) -> jnp.ndarray:
     """L1 between gradient magnitudes sqrt(dx^2 + dy^2 + eps)."""

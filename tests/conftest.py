@@ -2,15 +2,16 @@
 anywhere (the idiomatic JAX stand-in for a multi-chip mesh)."""
 import os
 
-# Hard-set CPU: the ambient environment pins JAX_PLATFORMS to the TPU
-# plugin, but the suite must run on the virtual 8-device CPU mesh (and not
-# contend for / depend on the single TPU chip).
-os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+# The environment's sitecustomize pre-imports jax (so JAX_PLATFORMS set
+# here via os.environ is too late), but the backend itself initializes
+# lazily — the config API and XLA_FLAGS still take effect now. This keeps
+# the suite off the single TPU chip and gives 8 virtual CPU devices.
+jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-
-import jax  # noqa: E402
 
 # Parity tests compare against torch float32; use exact f32 convs/matmuls.
 # (Production keeps the fast default: bf16 MXU passes on TPU.)

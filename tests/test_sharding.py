@@ -1,0 +1,84 @@
+"""Multi-device tests on the virtual 8-CPU mesh: data-parallel training
+(gradient all-reduce + BN sync via GSPMD) and spatially-sharded inference
+(H axis over the 'space' mesh dim — conv halos inserted by the compiler)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tcvom_tpu.models import full_model as FM
+from tcvom_tpu.models import registry
+from tcvom_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+from tcvom_tpu.train.trainer import MattingTrainer
+
+H = W = 32
+
+
+def _batch(rng, b, s=3, h=H, w=W):
+    return {
+        "a": jnp.asarray(rng.randint(0, 256, (b, s, h, w, 1)).astype(np.float32)),
+        "fg": jnp.asarray(rng.randint(0, 256, (b, s, h, w, 3)).astype(np.float32)),
+        "bg": jnp.asarray(rng.randint(0, 256, (b, s, h, w, 3)).astype(np.float32)),
+    }
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_data_parallel_train_step_matches_single_device(rng):
+    cfg = FM.TaskConfig(model="vmn_dim", agg_window=3)
+    trainer = MattingTrainer(cfg, "vmd", lr_strategy="const", base_lr=1e-3)
+    batch = _batch(rng, b=8)
+    # two independent (identical) states — train_step donates its input,
+    # and device_put aliases buffers when the sharding already matches
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state_copy = jax.tree.map(lambda x: jnp.array(np.asarray(x)),
+                              trainer.init_state(jax.random.PRNGKey(0), batch))
+
+    mesh = make_mesh()
+    state8 = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), state_copy)
+    dev_batch = shard_batch(batch, mesh)
+
+    # single-device step
+    s1, m1 = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+
+    # 8-way data parallel step on the same global batch
+    s8, m8 = trainer.train_step(state8, dev_batch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+    # parameters after one step agree (DDP equivalence: same global batch)
+    l1 = jax.tree.leaves(s1.params)
+    l8 = jax.tree.leaves(s8.params)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_spatially_sharded_inference_matches(rng):
+    """Shard the H axis over 'space' — the 2D-context-parallel analog for
+    1080p activations (SURVEY §2 parallelism extension)."""
+    cfg = FM.TaskConfig(model="vmn_dim", agg_window=3)
+    module = registry.build_model("vmn_dim", agg_window=3)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 3, H, W, 4))
+    masks = jnp.ones((1, 3, H, W, 1))
+    variables = jax.jit(lambda: module.init(
+        {"params": key, "dropout": key}, x, masks, train=False))()
+
+    imgs = jnp.asarray(rng.randint(0, 256, (2, 3, H, W, 3)).astype(np.float32))
+    tri = np.zeros((2, 3, H, W, 1), np.float32)
+    tri[:, :, 8:24, 6:28] = 128.0
+    tri[:, :, 12:20, 10:24] = 255.0
+    tri = jnp.asarray(tri)
+
+    run = jax.jit(lambda v, i, t: FM.forward_eval(module, v, i, t, cfg))
+    want = np.asarray(run(variables, imgs, tri))
+
+    mesh = make_mesh(space=4)         # 2 data x 4 space
+    sh = batch_sharding(mesh, 5, space_axis=2)
+    vars_r = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P())), variables)
+    got = np.asarray(run(vars_r, jax.device_put(imgs, sh),
+                         jax.device_put(tri, sh)))
+    np.testing.assert_allclose(got, want, atol=1e-4)

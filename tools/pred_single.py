@@ -39,6 +39,12 @@ def parse_args():
                    choices=["narrow", "medium", "wide"])
     p.add_argument("--image_shape", type=int, nargs=2, default=(1088, 1920))
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--dataset", default="vmd", choices=["vmd", "adobe"],
+                   help="'adobe' evaluates on the DIM still-image set "
+                        "(reference pred_single.py's Adobe val path)")
+    p.add_argument("--val_mode", default="resize",
+                   choices=["gca", "dim", "origin", "resize"])
+    p.add_argument("--min_shape", type=int, default=800)
     return p.parse_args()
 
 
@@ -54,10 +60,15 @@ def main():
                      dilate_radius=TRIMAP_DILATION[args.trimap])
     module = registry.build_model(args.model)
 
-    dataset = VideoMattingDataset(
-        data_root=args.data, image_shape=tuple(args.image_shape), mode="val",
-        use_subset=args.subset, plus1=False, precomputed_val=args.data,
-        sample_length=3, no_flow=True)
+    if args.dataset == "adobe":
+        from tcvom_tpu.data.dim import DIMEvalDataset
+        dataset = DIMEvalDataset(data_root=args.data, val_mode=args.val_mode,
+                                 min_shape=args.min_shape, plus1=False)
+    else:
+        dataset = VideoMattingDataset(
+            data_root=args.data, image_shape=tuple(args.image_shape), mode="val",
+            use_subset=args.subset, plus1=False, precomputed_val=args.data,
+            sample_length=3, no_flow=True)
     loader = DataLoader(dataset, args.batch or max(1, len(jax.devices())),
                         shuffle=False, drop_last=False,
                         num_workers=args.n_threads)
@@ -86,9 +97,15 @@ def main():
                 msad += float(np.mean(np.abs(d)))
                 mse += float(np.mean(d * d))
                 count += 1
-        names = [dataset.samples[int(i)][c] for i in batch_np["idx"]]
-        write_pred_pngs(args.save, names, alphas, tris,
-                        crop_hw=(min(1080, alphas.shape[1]), alphas.shape[2]))
+        if args.dataset == "adobe":
+            names = ["{:05d}".format(int(i)) for i in batch_np["idx"]]
+            crop = tuple(batch_np["og_shape"][0]) if "og_shape" in batch_np \
+                else (alphas.shape[1], alphas.shape[2])
+            write_pred_pngs(args.save, names, alphas, tris, crop_hw=crop)
+        else:
+            names = [dataset.samples[int(i)][c] for i in batch_np["idx"]]
+            write_pred_pngs(args.save, names, alphas, tris,
+                            crop_hw=(min(1080, alphas.shape[1]), alphas.shape[2]))
         print(names[-1])
     print_loss_dict({"mSAD": msad / max(count, 1), "MSE": mse / max(count, 1)},
                     os.path.join(args.save, "loss.log"))
