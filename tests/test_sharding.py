@@ -24,18 +24,25 @@ def _batch(rng, b, s=3, h=H, w=W):
     }
 
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
 def test_data_parallel_train_step_matches_single_device(rng):
+    # NOTE: 4-way (not 8) — this host has ONE physical core, and XLA:CPU
+    # collectives abort if all participants can't join a rendezvous within
+    # 40s; fewer participants keeps the check robust under load.
     cfg = FM.TaskConfig(model="vmn_dim", agg_window=3)
-    trainer = MattingTrainer(cfg, "vmd", lr_strategy="const", base_lr=1e-3)
-    batch = _batch(rng, b=8)
+    # sgd: updates are proportional to gradients, so reduction-order noise
+    # stays ~1e-6 (adam's grad/sqrt(v) normalization amplifies it on
+    # near-zero gradients)
+    trainer = MattingTrainer(cfg, "vmd", optimizer="sgd",
+                             lr_strategy="const", base_lr=1e-3)
+    batch = _batch(rng, b=4)
     # two independent (identical) states — train_step donates its input,
     # and device_put aliases buffers when the sharding already matches
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
     state_copy = jax.tree.map(lambda x: jnp.array(np.asarray(x)),
                               trainer.init_state(jax.random.PRNGKey(0), batch))
 
-    mesh = make_mesh()
+    mesh = make_mesh(jax.devices()[:4])
     state8 = jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), state_copy)
     dev_batch = shard_batch(batch, mesh)
@@ -54,7 +61,7 @@ def test_data_parallel_train_step_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
 def test_spatially_sharded_inference_matches(rng):
     """Shard the H axis over 'space' — the 2D-context-parallel analog for
     1080p activations (SURVEY §2 parallelism extension)."""
@@ -75,7 +82,7 @@ def test_spatially_sharded_inference_matches(rng):
     run = jax.jit(lambda v, i, t: FM.forward_eval(module, v, i, t, cfg))
     want = np.asarray(run(variables, imgs, tri))
 
-    mesh = make_mesh(space=4)         # 2 data x 4 space
+    mesh = make_mesh(jax.devices()[:4], space=2)   # 2 data x 2 space
     sh = batch_sharding(mesh, 5, space_axis=2)
     vars_r = jax.tree.map(
         lambda a: jax.device_put(a, NamedSharding(mesh, P())), variables)
