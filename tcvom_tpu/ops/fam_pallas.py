@@ -68,7 +68,7 @@ def _fam_kernel(q_ref, m_ref, kp_ref, out_ref, lg_ref, k_scratch, k_roll,
             m_run, d_run, s_run = carry
             ksh = k_roll[pl.ds(dy, th), :wt, :]            # [th, wt, c]
             l_p = jnp.sum(q * ksh, axis=-1) * scale        # [th, wt]
-            lg_ref[0, 0, 0, dy * window + dx] = l_p * m2
+            lg_ref[0, 0, 0, dy * window + dx] = (l_p * m2).astype(lg_ref.dtype)
             m_new = jnp.maximum(m_run, l_p)
             corr = jnp.exp(m_run - m_new)
             e_p = jnp.exp(l_p - m_new)
@@ -83,7 +83,95 @@ def _fam_kernel(q_ref, m_ref, kp_ref, out_ref, lg_ref, k_scratch, k_roll,
             jnp.zeros_like(q))
     _, d_run, s_run = jax.lax.fori_loop(0, window, dx_body, init)
 
-    out_ref[0] = (s_run / d_run[:, :, None]) * m2[:, :, None]
+    out_ref[0] = ((s_run / d_run[:, :, None])
+                  * m2[:, :, None]).astype(out_ref.dtype)
+
+
+def _fam_kernel_mxu(q_ref, m_ref, kp_ref, out_ref, lg_ref, k_scratch,
+                    lg_scratch, sem, *, window: int, tile_h: int,
+                    tile_w: int, w_halo: int):
+    """MXU formulation: local window attention as banded batched matmuls.
+
+    Per dy, the correlation of the q tile against the full W halo is one
+    batched matmul ``[th: wt x c] @ [c x w_halo]``; the window diagonals
+    are extracted with iota band masks (Mosaic cannot reshape across tiled
+    dims). The reconstruction scatters attention weights back into a banded
+    matrix with the same masks and runs a second batched matmul. This moves
+    the O(window^2 * c) inner products from the VPU to the MXU; with f32
+    inputs the dots run in 3-pass mode for XLA-parity numerics, bf16 takes
+    the fast single pass.
+    """
+    r = window // 2
+    n = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    th, wt, c = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+
+    copy = pltpu.make_async_copy(
+        kp_ref.at[n, pl.ds(ti * tile_h, th + 2 * r),
+                  pl.ds(tj * tile_w, w_halo)], k_scratch, sem)
+    copy.start()
+
+    q = q_ref[0]                        # [th, wt, c]
+    m2 = m_ref[0, 0, 0]                 # [th, wt]
+    scale = 1.0 / math.sqrt(c)
+    copy.wait()
+
+    # MXU dots in f32 need the 3-pass (bf16x3) mode to match the XLA path;
+    # bf16 inputs take the fast single-pass
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    # band masks: band_dx[j, i] == 1 iff i == j + dx (diagonal offset dx)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (wt, w_halo), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (wt, w_halo), 1)
+    diag = ii - jj
+
+    # Phase A: correlations (one batched matmul per dy) + band extraction
+    def corr_body(dy, _):
+        kdy = k_scratch[pl.ds(dy, th)]   # [th, w_halo, c]
+        corr = jax.lax.dot_general(      # [th, wt, w_halo]
+            q, kdy, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec)
+
+        def dx_body(dx, _):
+            band = (diag == dx).astype(corr.dtype)
+            lg_scratch[pl.ds(dy * window + dx, 1)] = (
+                jnp.sum(corr * band[None], axis=-1) * scale)[None]
+            return 0
+
+        return jax.lax.fori_loop(0, window, dx_body, 0)
+
+    jax.lax.fori_loop(0, window, corr_body, 0)
+
+    # Phase B: exact softmax over the window^2 logits (small: [P, th, wt])
+    lg_all = lg_scratch[:]
+    mx = jnp.max(lg_all, axis=0)
+    es_all = jnp.exp(lg_all - mx[None])
+    inv = 1.0 / jnp.sum(es_all, axis=0)
+
+    # Phase C: banded reconstruction matmuls
+    def out_body(dy, out):
+        def band_body(dx, banded):
+            # dynamic REF read (value dynamic_slice doesn't lower on TPU)
+            l_p = lg_scratch[pl.ds(dy * window + dx, 1)][0]
+            att_p = jnp.exp(l_p - mx) * inv              # [th, wt]
+            band = (diag == dx).astype(jnp.float32)
+            return banded + att_p[:, :, None] * band[None]
+
+        banded = jax.lax.fori_loop(
+            0, window, band_body, jnp.zeros((th, wt, w_halo), jnp.float32))
+        kdy = k_scratch[pl.ds(dy, th)]
+        return out + jax.lax.dot_general(                # [th, wt, c]
+            banded.astype(q.dtype), kdy, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(q.dtype)
+
+    out = jax.lax.fori_loop(0, window, out_body, jnp.zeros_like(q))
+
+    out_ref[0] = (out * m2[:, :, None]).astype(out_ref.dtype)
+    for p in range(window * window):
+        lg_ref[0, 0, 0, p] = (lg_scratch[p] * m2).astype(lg_ref.dtype)
 
 
 def _pick_tiles(h: int, w: int) -> tuple[int, int] | None:
@@ -99,8 +187,9 @@ def _pick_tiles(h: int, w: int) -> tuple[int, int] | None:
     return th, wt
 
 
-@functools.partial(jax.jit, static_argnames=("window", "interpret"))
-def _fam_pallas_fwd(q, k, mask, window: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("window", "interpret", "mxu"))
+def _fam_pallas_fwd(q, k, mask, window: int, interpret: bool = False,
+                    mxu: bool = True):
     b, h, w, c = q.shape
     r = window // 2
     p2 = window * window
@@ -112,11 +201,18 @@ def _fam_pallas_fwd(q, k, mask, window: int, interpret: bool = False):
     hb, wb = h // tile_h, w // tile_w
     # mask as [B, Hb, Wb, th, wt] so its block's minor dim equals the array
     # minor dim (Mosaic lane-alignment rule)
-    mask2 = jnp.broadcast_to(mask.astype(q.dtype)[..., 0], (b, h, w))
+    mask2 = jnp.broadcast_to(mask.astype(jnp.float32)[..., 0], (b, h, w))
     mask2 = mask2.reshape(b, hb, tile_h, wb, tile_w).transpose(0, 1, 3, 2, 4)
-    kernel = functools.partial(_fam_kernel, window=window, tile_h=tile_h,
-                               tile_w=tile_w, w_halo=w_halo,
-                               interpret=interpret)
+    if mxu:
+        kernel = functools.partial(_fam_kernel_mxu, window=window,
+                                   tile_h=tile_h, tile_w=tile_w,
+                                   w_halo=w_halo)
+        scratch2 = pltpu.VMEM((p2, tile_h, tile_w), jnp.float32)  # logits
+    else:
+        kernel = functools.partial(_fam_kernel, window=window, tile_h=tile_h,
+                                   tile_w=tile_w, w_halo=w_halo,
+                                   interpret=interpret)
+        scratch2 = pltpu.VMEM((tile_h + 2 * r, w_halo, c), q.dtype)  # roll
     grid = (b, hb, wb)
     out, lg = pl.pallas_call(
         kernel,
@@ -143,7 +239,7 @@ def _fam_pallas_fwd(q, k, mask, window: int, interpret: bool = False):
         ],
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * r, w_halo, c), q.dtype),
-            pltpu.VMEM((tile_h + 2 * r, w_halo, c), q.dtype),  # rolled copy
+            scratch2,
             pltpu.SemaphoreType.DMA,
         ],
     )(q, mask2, kp)

@@ -10,16 +10,18 @@ from tcvom_tpu.ops.fam import fam_attention as fam_xla
 from tcvom_tpu.ops.fam_pallas import _fam_pallas_fwd
 
 
+@pytest.mark.parametrize("mxu", [False, True])
 @pytest.mark.parametrize("shape,window", [((2, 8, 16, 8), 3),
                                           ((1, 16, 24, 32), 7)])
-def test_fam_pallas_interpret_matches_xla(rng, shape, window):
+def test_fam_pallas_interpret_matches_xla(rng, shape, window, mxu):
     b, h, w, c = shape
     q = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
     k = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
     mask = jnp.asarray((rng.rand(b, h, w, 1) > 0.4).astype(np.float32))
 
     want_out, want_lg = fam_xla(q, k, mask, window)
-    got_out, got_lg = _fam_pallas_fwd(q, k, mask, window, interpret=True)
+    got_out, got_lg = _fam_pallas_fwd(q, k, mask, window, interpret=True,
+                                      mxu=mxu)
     np.testing.assert_allclose(np.asarray(got_lg), np.asarray(want_lg),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
