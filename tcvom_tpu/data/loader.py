@@ -80,9 +80,12 @@ class DataLoader:
                     bi, b = task_q.get_nowait()
                 except queue.Empty:
                     return
-                items = [self.dataset[int(i)] for i in b]
-                batch = {k: np.stack([it[k] for it in items])
-                         for k in items[0]}
+                try:
+                    items = [self.dataset[int(i)] for i in b]
+                    batch = {k: np.stack([it[k] for it in items])
+                             for k in items[0]}
+                except Exception as e:           # propagate to the consumer
+                    batch = e
                 with lock:
                     results[bi] = batch
 
@@ -98,7 +101,10 @@ class DataLoader:
                 ready = served in results
             if ready:
                 with lock:
-                    yield results.pop(served)
+                    batch = results.pop(served)
+                if isinstance(batch, Exception):
+                    raise batch
+                yield batch
                 served += 1
             else:
                 time.sleep(0.002)

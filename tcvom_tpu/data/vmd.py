@@ -157,11 +157,16 @@ class VideoMattingDataset:
                    scales=(1.0, 1.25, 1.5, 2.0, 1.75)):
         """Random scale crop, re-rolled until unknown pixels survive
         (reference shape_aug, VMD.py:128-166). Returns crop params too so
-        flow can be resampled consistently."""
-        H, W = VIDEO_SHAPE
+        flow can be resampled consistently. Uses the actual frame size (the
+        reference hardcodes 1080p) and only scales that fit."""
+        H, W = alphas[0].shape[:2]
         assert self.image_shape[0] == self.image_shape[1]
+        fitting = [s for s in scales
+                   if int(self.image_shape[0] * s) < H
+                   and int(self.image_shape[1] * s) < W] or [
+                       min(H - 1, W - 1) / float(self.image_shape[0])]
         while True:
-            scale = float(self.rng.choice(scales))
+            scale = float(self.rng.choice(fitting))
             nsize = (int(self.image_shape[0] * scale), int(self.image_shape[1] * scale))
             ph = self.rng.randint(0, H - nsize[0])
             pw = self.rng.randint(0, W - nsize[1])

@@ -1,0 +1,98 @@
+"""End-to-end CLI smoke: synthetic dataset -> 2 train steps -> val-sweep
+inference -> metric.json, exercising the full tool chain in-process
+(the reference's validate-during-training integration test, SURVEY §4)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           XLA_FLAGS="--xla_force_host_platform_device_count=1",
+           PYTHONPATH=REPO)
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vmd108"))
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_fake_dataset
+    # tiny frames: /32-compatible 96x160
+    make_fake_dataset.make(root, frames=5, hw=(96, 160))
+    return root
+
+
+@pytest.mark.slow
+def test_dataset_loads(fake_root):
+    from tcvom_tpu.data.vmd import VideoMattingDataset
+    ds = VideoMattingDataset(fake_root, image_shape=(64, 64), mode="train",
+                             no_flow=True, sample_length=3)
+    item = ds[0]
+    assert item["a"].shape == (3, 64, 64, 1)
+    assert item["fg"].shape == (3, 64, 64, 3)
+    # val path with flow
+    dsv = VideoMattingDataset(fake_root, image_shape=(96, 160), mode="val",
+                              no_flow=False, sample_length=5,
+                              precomputed_val=fake_root)
+    item = dsv[1]
+    assert item["wb"].shape == (5, 96, 160, 2)
+
+
+@pytest.mark.slow
+def test_train_pred_metric_roundtrip(fake_root, tmp_path):
+    outdir = str(tmp_path / "run")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+MODEL: 'vmn_dim'
+AGG_WINDOW: 3
+SYSTEM:
+  NUM_WORKERS: 2
+  RANDOM_SEED: 7
+  OUTDIR: '{outdir}'
+DATASET:
+  PATH: '{fake_root}'
+TRAIN:
+  BATCH_SIZE_PER_GPU: 1
+  BASE_LR: 1e-4
+  TRAIN_INPUT_SIZE: [64, 64]
+  VAL_INPUT_SIZE: [64, 64]
+  TOTAL_STEPS: 1
+  PRINT_FREQ: 1
+  IMAGE_FREQ: 1000
+""")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train.py"),
+         "--cfg", str(cfg), "--sample_length", "3"],
+        env=ENV, capture_output=True, text=True, timeout=3000)
+    assert r.returncode == 0, r.stderr[-3000:]
+    ckpts = [d for d in os.listdir(os.path.join(outdir, "cfg"))
+             if d.startswith("checkpoint_")]
+    assert ckpts, os.listdir(os.path.join(outdir, "cfg"))
+
+    # val-sweep inference at the native fake resolution
+    save = str(tmp_path / "pred")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "pred_vmn.py"),
+         "--model", "dim", "--data", fake_root,
+         "--load", os.path.join(outdir, "cfg", ckpts[0]),
+         "--trimap", "medium", "--save", save, "--agg_window", "3",
+         "--batch", "1", "--image_shape", "96", "160"],
+        env=ENV, capture_output=True, text=True, timeout=3000)
+    assert r.returncode == 0, r.stderr[-3000:]
+    preds = [f for f in os.listdir(os.path.join(save, "clip_b"))
+             if f.endswith("_pred.png")]
+    assert len(preds) == 5, preds
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "calc_metric.py"),
+         "--pred", save, "--data", fake_root, "--n_threads", "2"],
+        env=ENV, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(os.path.join(save, "metric.json")) as f:
+        metrics = json.load(f)
+    for k in ("mSAD", "MSE", "SSDA", "dtSSD", "MESSDdt"):
+        assert np.isfinite(metrics["avg"][k]), metrics["avg"]

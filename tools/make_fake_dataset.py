@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Generate a tiny synthetic VideoMatting108-format dataset for smoke tests
+and CI: FG_done/<clip>/NNNNN.png (RGBA), BG_done pairs, frame_corr.json,
+train/val video lists, and quantized flow PNGs (zero flow, all valid)."""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+import cv2
+
+
+def make(root: str, clips=("clip_a", "clip_b"), frames=6, hw=(1080, 1920),
+         seed=0):
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    frame_corr = {}
+    for ci, clip in enumerate(clips):
+        os.makedirs(os.path.join(root, "FG_done", clip), exist_ok=True)
+        os.makedirs(os.path.join(root, "BG_done", clip), exist_ok=True)
+        os.makedirs(os.path.join(root, "flow_png", clip), exist_ok=True)
+        cx, cy = rng.randint(w // 4, 3 * w // 4), rng.randint(h // 4, 3 * h // 4)
+        for i in range(frames):
+            name = f"{i:05d}.png"
+            fg = rng.randint(0, 256, (h, w, 3), np.uint8)
+            yy, xx = np.mgrid[0:h, 0:w]
+            d = np.sqrt((xx - cx - 5 * i) ** 2 + (yy - cy) ** 2)
+            alpha = np.clip((200.0 - d) / 60.0, 0, 1)
+            rgba = np.concatenate([fg, np.uint8(alpha[..., None] * 255)], -1)
+            cv2.imwrite(os.path.join(root, "FG_done", clip, name), rgba)
+            bg = rng.randint(0, 256, (h, w, 3), np.uint8)
+            cv2.imwrite(os.path.join(root, "BG_done", clip, name), bg)
+            frame_corr[f"{clip}/{name}"] = f"{clip}/{name}"
+        # zero flow, valid everywhere, for consecutive pairs (both dirs)
+        flow = np.zeros((h, w, 3), np.uint16)
+        flow[..., 2] = 255
+        for i in range(frames - 1):
+            a, b = f"{i:05d}", f"{i + 1:05d}"
+            cv2.imwrite(os.path.join(root, "flow_png", clip,
+                                     f"flow_{a}_{b}.png"), flow)
+            cv2.imwrite(os.path.join(root, "flow_png", clip,
+                                     f"flow_{b}_{a}.png"), flow)
+    with open(os.path.join(root, "frame_corr.json"), "w") as f:
+        json.dump(frame_corr, f)
+    for mode, vids in [("train", clips[:1]), ("val", clips[1:])]:
+        with open(os.path.join(root, f"{mode}_videos.txt"), "w") as f:
+            f.write("\n".join(vids) + "\n")
+        with open(os.path.join(root, f"{mode}_videos_subset.txt"), "w") as f:
+            f.write("\n".join(vids) + "\n")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", required=True)
+    p.add_argument("--frames", type=int, default=6)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--width", type=int, default=1920)
+    a = p.parse_args()
+    make(a.root, frames=a.frames, hw=(a.height, a.width))
+    print("fake dataset at", a.root)

@@ -41,6 +41,8 @@ def parse_args():
     p.add_argument("--agg_window", type=int, default=7)
     p.add_argument("--batch", type=int, default=None,
                    help="global batch (default: one per device)")
+    p.add_argument("--image_shape", type=int, nargs=2, default=(1088, 1920),
+                   help="padded network resolution (1080 % 32 != 0)")
     return p.parse_args()
 
 
@@ -58,7 +60,7 @@ def main():
     module = registry.build_model(model_name, agg_window=args.agg_window)
 
     dataset = VideoMattingDataset(
-        data_root=args.data, image_shape=(1088, 1920), mode="val",
+        data_root=args.data, image_shape=tuple(args.image_shape), mode="val",
         use_subset=args.subset, plus1=False, precomputed_val=args.data,
         sample_length=3, no_flow=True)
     batch = args.batch or max(1, len(jax.devices()))
@@ -91,7 +93,9 @@ def main():
         eval_loss["L_att"] += float(losses["L_att"]) * b
         eval_loss["L_total"] += sum(float(v) for v in losses.values()) * b
         names = [dataset.samples[int(i)][c] for i in batch_np["idx"]]
-        write_pred_pngs(args.save, names, np.asarray(alphas), np.asarray(tris))
+        crop = (min(1080, args.image_shape[0]), min(1920, args.image_shape[1]))
+        write_pred_pngs(args.save, names, np.asarray(alphas), np.asarray(tris),
+                        crop_hw=crop)
         print(f"{names[-1]}  " + " ".join(
             f"{k}={float(v):.4f}" for k, v in losses.items()))
     for k in eval_loss:
