@@ -90,6 +90,14 @@ def _merge(base: dict, overlay: dict, path: str = ""):
         if isinstance(base[k], dict):
             _merge(base[k], v, path + k + ".")
         else:
+            if isinstance(v, str) and not isinstance(base[k], str):
+                # yacs compatibility: the reference's yaml files write
+                # tuples as strings, e.g. "TRAIN_INPUT_SIZE: (512, 512)"
+                import ast
+                try:
+                    v = ast.literal_eval(v)
+                except (ValueError, SyntaxError):
+                    pass
             if isinstance(base[k], tuple) and isinstance(v, list):
                 v = tuple(v)
             base[k] = v

@@ -84,3 +84,17 @@ def test_trainable_mask_freeze():
     assert mask["fam"]["key_conv"]["kernel"] is True
     mask = trainable_mask(params, "vmn_dim", freeze_backbone=False)
     assert all(v for v in [mask["encoder"]["conv"]["kernel"]])
+
+
+def test_reference_yaml_compatibility():
+    """The reference's unmodified cfgs/*.yaml files load (yacs-style
+    tuple-string literal_eval included)."""
+    import glob
+    import os
+    if not os.path.isdir("/root/reference/cfgs"):
+        import pytest
+        pytest.skip("reference not mounted")
+    for f in sorted(glob.glob("/root/reference/cfgs/*.yaml")):
+        cfg = load_config(f)
+        assert isinstance(cfg.TRAIN.TRAIN_INPUT_SIZE, tuple)
+        assert cfg.MODEL

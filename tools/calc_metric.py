@@ -79,6 +79,9 @@ def main():
     p.add_argument("--pred", required=True)
     p.add_argument("--data", required=True)
     p.add_argument("--output", default=None)
+    p.add_argument("--vis", action="store_true",
+                   help="write per-frame error visualizations (red error "
+                        "overlay | gt, trimap inset) like the reference")
     p.add_argument("--n_threads", type=int, default=8)
     args = p.parse_args()
 
@@ -102,11 +105,32 @@ def main():
             hvalid = np.float32(0.0)
         return cf, (a, g, t, ha, hg, hvalid, flow)
 
+    def write_vis(cf, a, g, t, m):
+        """Error visualization (reference calc_metric.py:103-126): red
+        error overlay beside the gt, trimap inset, metric caption."""
+        outdir = os.path.join(args.pred, "vis")
+        os.makedirs(os.path.join(outdir, os.path.dirname(cf)), exist_ok=True)
+        a8 = np.uint8(a * 255)
+        g8 = np.uint8(g * 255)
+        diff = np.abs(a.astype(np.float32) - g)[..., None]
+        left = np.stack([a8] * 3, -1).astype(np.float32) / 255.0
+        left[..., 2] = diff[..., 0] + (1 - diff[..., 0]) * left[..., 2]
+        comp = np.concatenate([np.uint8(left * 255),
+                               np.stack([g8] * 3, -1)], axis=1)
+        tv = cv2.resize(np.uint8(t), (g.shape[1] // 4, g.shape[0] // 4),
+                        interpolation=cv2.INTER_NEAREST)
+        x0 = comp.shape[1] // 2 - tv.shape[1] // 2
+        comp[-tv.shape[0]:, x0:x0 + tv.shape[1]] = np.stack([tv] * 3, -1)
+        fn = os.path.splitext(cf)[0]
+        cv2.imwrite(os.path.join(outdir, fn + ".png"), comp)
+
     results = {}
     with ThreadPoolExecutor(args.n_threads) as ex:
         for cf, arrs in ex.map(load_pair, pairs):
             out = frame_metrics(*[jnp.asarray(x) for x in arrs])
             results[cf] = {k: float(v) for k, v in jax.device_get(out).items()}
+            if args.vis:
+                write_vis(cf, arrs[0], arrs[1], arrs[2], None)
             print(cf)
 
     # aggregate per video, then globally (calc_metric.py:190-233)
