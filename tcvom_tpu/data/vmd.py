@@ -165,7 +165,7 @@ class VideoMattingDataset:
                    if int(self.image_shape[0] * s) < H
                    and int(self.image_shape[1] * s) < W] or [
                        min(H - 1, W - 1) / float(self.image_shape[0])]
-        while True:
+        for attempt in range(1000):
             scale = float(self.rng.choice(fitting))
             nsize = (int(self.image_shape[0] * scale), int(self.image_shape[1] * scale))
             ph = self.rng.randint(0, H - nsize[0])
@@ -174,6 +174,8 @@ class VideoMattingDataset:
                                      self.image_shape) for a in alphas]
             if all(np.sum((x > 0) & (x < 255)) >= 1 for x in pa):
                 break
+        # after 1000 re-rolls accept the last crop (the reference loops
+        # forever; a clip with no unknown pixels anywhere would hang it)
         pfg = [resize_bilinear_ac(f[ph:ph + nsize[0], pw:pw + nsize[1]],
                                   self.image_shape) for f in fgs]
         pbg = [resize_bilinear_ac(b[ph:ph + nsize[0], pw:pw + nsize[1]],

@@ -28,7 +28,11 @@ def make(root: str, clips=("clip_a", "clip_b"), frames=6, hw=(1080, 1920),
             fg = rng.randint(0, 256, (h, w, 3), np.uint8)
             yy, xx = np.mgrid[0:h, 0:w]
             d = np.sqrt((xx - cx - 5 * i) ** 2 + (yy - cy) ** 2)
-            alpha = np.clip((200.0 - d) / 60.0, 0, 1)
+            # blob scaled to the frame so the soft (unknown) ring is
+            # always in view
+            rad = 0.25 * min(h, w)
+            soft = 0.15 * min(h, w)
+            alpha = np.clip((rad - d) / soft + 1.0, 0, 1)
             rgba = np.concatenate([fg, np.uint8(alpha[..., None] * 255)], -1)
             cv2.imwrite(os.path.join(root, "FG_done", clip, name), rgba)
             bg = rng.randint(0, 256, (h, w, 3), np.uint8)
