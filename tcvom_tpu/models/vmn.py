@@ -82,7 +82,7 @@ class VMN(nn.Module):
         """Per-frame half: encoder + decoder feature-extract. ``images``:
         [N, H, W, Cin]. Returns (enc pytree, OS=8 features) — the cacheable
         state of a sliding-window pipeline."""
-        enc = self.encoder(images, train=train)
+        enc = self.encoder(images, train)
         if extras is not None:
             enc = dict(enc)
             enc["extras"] = extras
@@ -108,7 +108,7 @@ class VMN(nn.Module):
         backbone_train = train and not self.freeze_backbone
 
         flat = images.reshape((b * s,) + images.shape[2:])
-        enc = self.encoder(flat, train=backbone_train)
+        enc = self.encoder(flat, backbone_train)
         if extras is not None:
             enc = dict(enc)
             enc["extras"] = jax.tree.map(

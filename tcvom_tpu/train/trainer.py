@@ -102,13 +102,13 @@ class MattingTrainer:
     def __init__(self, task_cfg: FM.TaskConfig, driver: str,
                  optimizer: str = "adam", lr_strategy: str = "const",
                  base_lr: float = 5e-4, weight_decay: float = 1e-4,
-                 total_iters: int = 100_000):
+                 total_iters: int = 100_000, remat: bool = False):
         self.cfg = task_cfg
         self.driver = driver
         self.module = registry.build_model(
             task_cfg.model, agg_window=task_cfg.agg_window,
             agg_reduction=task_cfg.agg_reduction,
-            freeze_backbone=task_cfg.freeze_backbone)
+            freeze_backbone=task_cfg.freeze_backbone, remat=remat)
         self.lr_schedule = make_lr_schedule(lr_strategy, base_lr, total_iters)
         self._opt_name = optimizer
         self._weight_decay = weight_decay

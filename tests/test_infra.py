@@ -98,3 +98,26 @@ def test_reference_yaml_compatibility():
         cfg = load_config(f)
         assert isinstance(cfg.TRAIN.TRAIN_INPUT_SIZE, tuple)
         assert cfg.MODEL
+
+
+def test_remat_train_step_matches(rng):
+    """nn.remat on the encoder changes memory, not math."""
+    import jax
+    import jax.numpy as jnp
+    from tcvom_tpu.models.full_model import TaskConfig
+    from tcvom_tpu.train.trainer import MattingTrainer
+
+    cfg = TaskConfig(model="vmn_dim", agg_window=3)
+    batch = {k: jnp.asarray(rng.randint(0, 256, (1, 3, 32, 32, c))
+                            .astype(np.float32))
+             for k, c in (("a", 1), ("fg", 3), ("bg", 3))}
+    outs = []
+    for remat in (False, True):
+        tr = MattingTrainer(cfg, "vmd", optimizer="sgd", base_lr=1e-3,
+                            remat=remat)
+        state = tr.init_state(jax.random.PRNGKey(0), batch)
+        state, m = tr.train_step(state, batch, jax.random.PRNGKey(1))
+        outs.append((float(m["loss"]),
+                     np.asarray(jax.tree.leaves(state.params)[0])))
+    assert abs(outs[0][0] - outs[1][0]) < 1e-5
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-6)
