@@ -44,6 +44,9 @@ def build_argparser():
                    help="alpha snapping for pretrain (1e-2 in pretrain_ddp)")
     p.add_argument("--profile_dir", default=None,
                    help="write a jax.profiler trace of steps 10-20 here")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder activations in the backward "
+                        "pass (fits larger per-chip batches)")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p
 
@@ -94,7 +97,7 @@ def main():
                              lr_strategy=cfg.TRAIN.LR_STRATEGY,
                              base_lr=cfg.TRAIN.BASE_LR,
                              weight_decay=cfg.TRAIN.WEIGHT_DECAY,
-                             total_iters=total_iters)
+                             total_iters=total_iters, remat=args.remat)
 
     key = jax.random.PRNGKey(seed)
     sample = next(iter(train_loader))
