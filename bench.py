@@ -67,7 +67,7 @@ def main():
     state, out = sp.step(state, img, tri)
     jax.block_until_ready(out)
 
-    iters = 20
+    iters = 40
     t0 = time.perf_counter()
     for _ in range(iters):
         state, out = sp.step(state, img, tri)
