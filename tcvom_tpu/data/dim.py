@@ -88,6 +88,7 @@ def synth_frames3(fg, bg, alpha, rng: np.random.RandomState | None):
 
 class DIMPretrainDataset:
     CROP_SIZES = (512, 576, 640, 704, 768)
+    sample_length = 3     # always synthesizes 3 frames (center index 1)
 
     def __init__(self, data_root: str, image_shape=None, min_shape: int = 800,
                  val_mode: str | None = None, plus1: bool = True,
@@ -191,6 +192,12 @@ class DIMPretrainDataset:
                 mode = "reflect" if self.val_mode == "gca" else "constant"
                 ph = self.image_shape[0] - fg.shape[0]
                 pw = self.image_shape[1] - fg.shape[1]
+                if ph < 0 or pw < 0:
+                    raise ValueError(
+                        f"eval image {fg.shape[:2]} exceeds the "
+                        f"{self.image_shape} grid (val_mode="
+                        f"{self.val_mode!r}); raise min_shape or use "
+                        f"val_mode='resize'")
                 fg = np.pad(fg, ((0, ph), (0, pw), (0, 0)), mode=mode)
                 bg = np.pad(bg, ((0, ph), (0, pw), (0, 0)), mode=mode)
                 a = np.pad(a, ((0, ph), (0, pw)), mode=mode)

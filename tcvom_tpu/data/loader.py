@@ -46,7 +46,7 @@ class DataLoader:
         self.seed = seed
         self.num_shards = num_shards
         self.shard = shard
-        self.prefetch = prefetch
+        self.prefetch = max(1, prefetch)
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -66,10 +66,10 @@ class DataLoader:
         batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(nb)]
 
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         task_q: "queue.Queue" = queue.Queue()
         results: dict[int, Any] = {}
-        lock = threading.Lock()
+        cond = threading.Condition()
+        state = {"served": 0, "abort": False}
 
         for bi, b in enumerate(batches):
             task_q.put((bi, b))
@@ -80,31 +80,42 @@ class DataLoader:
                     bi, b = task_q.get_nowait()
                 except queue.Empty:
                     return
+                # enforce the prefetch bound BEFORE materializing: at most
+                # ``prefetch`` batches are ever computed-or-stored ahead of
+                # the consumer, so a slow consumer cannot blow host RAM
+                with cond:
+                    while (bi >= state["served"] + self.prefetch
+                           and not state["abort"]):
+                        cond.wait()
+                    if state["abort"]:
+                        return
                 try:
                     items = [self.dataset[int(i)] for i in b]
                     batch = {k: np.stack([it[k] for it in items])
                              for k in items[0]}
                 except Exception as e:           # propagate to the consumer
                     batch = e
-                with lock:
+                with cond:
                     results[bi] = batch
+                    cond.notify_all()
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
         for t in threads:
             t.start()
 
-        served = 0
-        import time
-        while served < nb:
-            with lock:
-                ready = served in results
-            if ready:
-                with lock:
+        try:
+            for served in range(nb):
+                with cond:
+                    while served not in results:
+                        cond.wait()
                     batch = results.pop(served)
+                    state["served"] = served + 1
+                    cond.notify_all()
                 if isinstance(batch, Exception):
                     raise batch
                 yield batch
-                served += 1
-            else:
-                time.sleep(0.002)
+        finally:       # consumer stopped early: release blocked workers
+            with cond:
+                state["abort"] = True
+                cond.notify_all()

@@ -70,9 +70,12 @@ def make_single_eval_step(module, cfg: FM.TaskConfig):
 def write_pred_pngs(save_dir: str, names: list[str], alphas: np.ndarray,
                     tris: np.ndarray, crop_hw=(1080, 1920)):
     """Write <name>_pred.png / <name>_tri.png cropped to the original
-    resolution (pred_vmn.py:125-135)."""
-    h, w = crop_hw
+    resolution (pred_vmn.py:125-135). ``crop_hw`` is one (h, w) for the
+    whole batch or a list of per-sample (h, w) (Adobe eval images differ
+    in size — reference pred_single.py:159-166 crops per sample)."""
+    per_sample = crop_hw and not np.isscalar(crop_hw[0])
     for i, name in enumerate(names):
+        h, w = crop_hw[i] if per_sample else crop_hw
         fn = os.path.splitext(name)[0]
         os.makedirs(os.path.join(save_dir, os.path.dirname(fn)), exist_ok=True)
         a = np.uint8(np.clip(alphas[i, :h, :w, 0], 0, 1) * 255)

@@ -96,3 +96,47 @@ TRAIN:
         metrics = json.load(f)
     for k in ("mSAD", "MSE", "SSDA", "dtSSD", "MESSDdt"):
         assert np.isfinite(metrics["avg"][k]), metrics["avg"]
+
+
+@pytest.mark.slow
+def test_pred_single_adobe(tmp_path):
+    """Adobe still-image eval path (reference pred_single.py:146-166):
+    synthetic Adobe tree -> random-init ckpt -> pred_single --dataset adobe
+    writes per-sample-cropped preds. Regression for the r1 sample_length
+    AttributeError and the shared-crop bug."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_fake_dataset
+    root = str(tmp_path / "adobe")
+    make_fake_dataset.make_adobe(root, n=2, hw=(80, 56))
+
+    # random-init checkpoint via the trainer's own save path
+    import jax
+    from tcvom_tpu.models.full_model import TaskConfig
+    from tcvom_tpu.train.trainer import MattingTrainer
+    from tcvom_tpu.utils.checkpoint import save_checkpoint
+    import jax.numpy as jnp
+    trainer = MattingTrainer(TaskConfig(model="dim"), "single")
+    init_batch = {k: jnp.zeros((1, 3, 64, 64, c), jnp.float32)
+                  for k, c in (("a", 1), ("fg", 3), ("bg", 3))}
+    state = trainer.init_state(jax.random.PRNGKey(0), init_batch)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, {"params": state.params,
+                           "model_state": state.model_state})
+
+    save = str(tmp_path / "adobe_pred")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "pred_single.py"),
+         "--model", "dim", "--data", root, "--load", ckpt,
+         "--trimap", "medium", "--save", save, "--dataset", "adobe",
+         "--val_mode", "resize", "--min_shape", "64", "--batch", "2",
+         "--n_threads", "1"],
+        env=ENV, capture_output=True, text=True, timeout=3000)
+    assert r.returncode == 0, r.stderr[-3000:]
+    import cv2
+    for i, og in enumerate([(80, 56), (88, 60)]):
+        pred = cv2.imread(os.path.join(save, f"{i:05d}_pred.png"),
+                          cv2.IMREAD_GRAYSCALE)
+        assert pred is not None
+        # grid is 64x64; crop is min(og, grid) per sample
+        assert pred.shape == (min(og[0], 64), min(og[1], 64)), \
+            (i, pred.shape)

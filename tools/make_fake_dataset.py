@@ -56,6 +56,33 @@ def make(root: str, clips=("clip_a", "clip_b"), frames=6, hw=(1080, 1920),
             f.write("\n".join(vids) + "\n")
 
 
+def make_adobe(root: str, n: int = 2, hw=(80, 56), seed=0):
+    """Tiny synthetic Adobe-DIM tree (reference dataset/DIM.py layout):
+    fg_val_set.txt lines are '<fg> <alpha>', bg_val_set.txt one bg path per
+    line; differently-sized stills to exercise per-sample cropping."""
+    rng = np.random.RandomState(seed)
+    for d in ("fg", "alpha", "bg"):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+    fg_lines, bg_lines = [], []
+    for i in range(n):
+        h, w = hw[0] + 8 * i, hw[1] + 4 * i
+        fg = rng.randint(0, 256, (h, w, 3), np.uint8)
+        yy, xx = np.mgrid[0:h, 0:w]
+        d = np.sqrt((xx - w / 2) ** 2 + (yy - h / 2) ** 2)
+        alpha = np.uint8(np.clip((0.3 * min(h, w) - d) / (0.2 * min(h, w))
+                                 + 1.0, 0, 1) * 255)
+        bg = rng.randint(0, 256, (h * 2, w * 2, 3), np.uint8)
+        cv2.imwrite(os.path.join(root, "fg", f"{i}.png"), fg)
+        cv2.imwrite(os.path.join(root, "alpha", f"{i}.png"), alpha)
+        cv2.imwrite(os.path.join(root, "bg", f"{i}.jpg"), bg)
+        fg_lines.append(f"fg/{i}.png alpha/{i}.png")
+        bg_lines.append(f"bg/{i}.jpg")
+    with open(os.path.join(root, "fg_val_set.txt"), "w") as f:
+        f.write("\n".join(fg_lines) + "\n")
+    with open(os.path.join(root, "bg_val_set.txt"), "w") as f:
+        f.write("\n".join(bg_lines) + "\n")
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--root", required=True)

@@ -99,8 +99,10 @@ def main():
                 count += 1
         if args.dataset == "adobe":
             names = ["{:05d}".format(int(i)) for i in batch_np["idx"]]
-            crop = tuple(batch_np["og_shape"][0]) if "og_shape" in batch_np \
-                else (alphas.shape[1], alphas.shape[2])
+            if "og_shape" in batch_np:       # per-sample original sizes
+                crop = [(int(h), int(w)) for h, w in batch_np["og_shape"]]
+            else:
+                crop = (alphas.shape[1], alphas.shape[2])
             write_pred_pngs(args.save, names, alphas, tris, crop_hw=crop)
         else:
             names = [dataset.samples[int(i)][c] for i in batch_np["idx"]]
