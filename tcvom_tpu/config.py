@@ -30,6 +30,8 @@ _DEFAULTS: dict[str, Any] = {
     "TRAIN": {
         "LOAD_CKPT": "",
         "LOAD_OPT": "",
+        "LOAD_IMAGENET": "",           # torch ResNet state_dict for encoder
+                                       # init (train_single_ddp.py:186-196)
         "FREEZE_BACKBONE": False,
         "BATCH_SIZE_PER_GPU": 1,       # per-device batch (name kept for parity)
         "VAL_BATCH_SIZE_PER_GPU": 1,

@@ -110,7 +110,14 @@ def preprocess(key: jax.Array, a, fg, bg, cfg: TaskConfig):
 
 def preprocess_eval(img, tri, cfg: TaskConfig):
     """EvalModel preprocessing from real trimap images
-    (models/model.py:360-387). img/tri in [0,255], img BGR."""
+    (models/model.py:360-387). img/tri in [0,255], img BGR.
+
+    Contract (same as the reference): ``tri`` must be a hard uint8-origin
+    trimap whose fg/bg pixels are exactly 255/0 — the 8-channel (fba) path
+    derives the fg/bg planes by exact equality on tri/255 like the
+    reference's ``trimap[:, 1:2] == 1`` (models/model.py:371-376). An
+    anti-aliased or rescaled trimap would silently classify near-fg/bg
+    pixels as unknown; threshold it to {0, 128, 255} before calling."""
     scaled_imgs = img[..., ::-1] * IMG_SCALE
     imgs = (scaled_imgs - IMG_MEAN) / IMG_STD
     scaled_tris = tri * IMG_SCALE

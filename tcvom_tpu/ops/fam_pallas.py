@@ -187,6 +187,31 @@ def _pick_tiles(h: int, w: int) -> tuple[int, int] | None:
     return th, wt
 
 
+def _choose_impl(h: int, w: int, c: int, dtype) -> str:
+    """'vpu' | 'mxu' | 'xla' — measured policy (tools/bench_fam.py on
+    TPU v5e, artifact bench_fam.json; delta-timed with a forced host
+    readback — enqueue-only timing lies through the device tunnel):
+
+    grid       C    f32  xla/vpu/mxu (ms)    bf16  xla/vpu/mxu (ms)
+    64x64    256    0.37 / 0.27 / 0.50       0.64 /  n/a / 0.29
+    136x240  256    2.95 / 3.93 / 2.80       2.06 /  n/a / 1.95
+    136x240  128    1.60 / 3.17 / 2.25       1.14 /  n/a / 1.86
+
+    The VPU kernel wins small f32 grids (training crops); the MXU banded
+    kernel wins bf16 everywhere it lowers and wide-channel (C>=256) f32
+    1080p grids; XLA keeps C=128 at 1080p. The VPU variant does not lower
+    in bf16 (its sublane-8 roll tiles are below bf16's 16-sublane minimum).
+    """
+    if c % 128 or _pick_tiles(h, w) is None:
+        return "xla"
+    small = h * w <= 64 * 64
+    if small:
+        return "vpu" if dtype == jnp.float32 else "mxu"
+    if c >= 256:
+        return "mxu"
+    return "xla"
+
+
 @functools.partial(jax.jit, static_argnames=("window", "interpret", "mxu"))
 def _fam_pallas_fwd(q, k, mask, window: int, interpret: bool = False,
                     mxu: bool = True):
@@ -248,19 +273,19 @@ def _fam_pallas_fwd(q, k, mask, window: int, interpret: bool = False,
     return out, lg
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fam_attention_fused(q, k, mask, window: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fam_attention_fused(q, k, mask, window: int, mxu: bool = True):
     """Same contract as ops.fam.fam_attention, fused on TPU. Differentiable
     (backward runs the XLA formulation's VJP)."""
-    return _fam_pallas_fwd(q, k, mask, window)
+    return _fam_pallas_fwd(q, k, mask, window, mxu=mxu)
 
 
-def _fwd(q, k, mask, window):
-    out = _fam_pallas_fwd(q, k, mask, window)
+def _fwd(q, k, mask, window, mxu):
+    out = _fam_pallas_fwd(q, k, mask, window, mxu=mxu)
     return out, (q, k, mask)
 
 
-def _bwd(window, residuals, cts):
+def _bwd(window, mxu, residuals, cts):
     q, k, mask = residuals
     _, vjp = jax.vjp(lambda q_, k_: fam_attention_xla(q_, k_, mask, window),
                      q, k)
@@ -272,18 +297,16 @@ fam_attention_fused.defvjp(_fwd, _bwd)
 
 
 def fam_attention(q, k, mask, window: int, use_pallas: bool | None = None):
-    """Dispatch: fused Pallas kernel on TPU when the layout allows
-    (C % 128 == 0, H and W multiples of 8), XLA formulation otherwise.
-
-    TODO(perf): at large (1080p OS=8) grids the VPU-bound kernel currently
-    ties/loses to XLA's fusion; reformulate the window dots + reconstruction
-    as banded MXU matmuls per row to beat it, then widen this dispatch.
-    """
+    """Dispatch: fused Pallas kernel on TPU wherever it measures faster
+    than the XLA formulation (see _choose_impl for the measured table),
+    XLA otherwise. Covers both the 512^2 training crop (VPU variant,
+    3.5x XLA) and the 1088x1920 inference frame (MXU-banded variant)."""
     h, w, c = q.shape[-3], q.shape[-2], q.shape[-1]
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
-                      and c % 128 == 0 and h * w <= 64 * 64
-                      and _pick_tiles(h, w) is not None)
-    if use_pallas:
-        return fam_attention_fused(q, k, mask, window)
+        impl = (_choose_impl(h, w, c, q.dtype)
+                if jax.default_backend() == "tpu" else "xla")
+    else:
+        impl = "vpu" if use_pallas else "xla"
+    if impl != "xla":
+        return fam_attention_fused(q, k, mask, window, mxu=(impl == "mxu"))
     return fam_attention_xla(q, k, mask, window)

@@ -51,6 +51,24 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(put, batch)
 
 
+def pad_shard_batch(batch, mesh: Mesh):
+    """Pad dim 0 up to a multiple of the data-axis size (repeating the last
+    sample) and shard over 'data'. Returns (device batch, real batch size).
+
+    The multi-device inference tools use this where the reference used
+    nn.DataParallel scatter/gather (pred_vmn.py:85) — every chip computes
+    a slice of the batch; callers slice outputs back to the real size.
+    """
+    n = mesh.shape[DATA_AXIS]
+    b = int(next(iter(jax.tree.leaves(batch))).shape[0])
+    pad = (-b) % n
+    if pad:
+        batch = jax.tree.map(
+            lambda x: np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], 0),
+            batch)
+    return shard_batch(batch, mesh), b
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (params/state) over the mesh."""
     sharding = NamedSharding(mesh, P())

@@ -197,7 +197,11 @@ class MattingTrainer:
         """Validation L_dt indicator on PNG-quantized alphas — the on-device
         equivalent of the reference's /dev/shm PNG round-trip
         (train_ddp.py:102-169). S=3 at validation: L_dt uses frames 1..S-2
-        against the center's neighbors via alpha differences."""
+        against the center's neighbors via alpha differences.
+
+        Also returns the center-frame (pred, tri-vis, gt) tensors so the
+        caller can write the per-epoch visual triplets the reference's
+        validate() saved (train_ddp.py:129-138)."""
         losses, aux, _ = self._forward(self.module, state.variables, rng,
                                        batch, self.cfg, train=False)
         alphas = jnp.round(aux["alphas"] * 255.0) / 255.0
@@ -209,4 +213,5 @@ class MattingTrainer:
         terms = [l1_mask(alphas[:, c] - alphas[:, c + d],
                          gts[:, c] - gts[:, c + d], tm[:, c])
                  for d in (-1, 1) if 0 <= c + d < s]
-        return sum(terms) / len(terms)
+        tris_vis = jnp.where(tm[:, c] > 0.5, 128.0 / 255.0, gts[:, c])
+        return sum(terms) / len(terms), (alphas[:, c], tris_vis, gts[:, c])

@@ -22,7 +22,8 @@ try:
 except ImportError:         # pragma: no cover
     _HAS_ORBAX = False
 
-from tcvom_tpu.utils.convert import convert_state_dict, merge_variables
+from tcvom_tpu.utils.convert import (convert_state_dict, merge_variables,
+                                     widen_conv_in_channels)
 
 
 def save_checkpoint(path: str, state) -> None:
@@ -43,6 +44,67 @@ def restore_checkpoint(path: str, target=None):
         return ckptr.restore(path, item=target)
     with open(path if path.endswith(".pkl") else path + ".pkl", "rb") as f:
         return pickle.load(f)
+
+
+def load_imagenet_encoder(model_name: str, init_variables: dict,
+                          ckpt_path: str, logger=None):
+    """Initialize the backbone encoder from a torch ImageNet ResNet
+    state_dict (reference train_single_ddp.py:186-196): keys are treated
+    as ``encoder.*``, the stem conv is widened with zero-init extra input
+    channels to the model's stem width, and the result is merged with
+    strict=False semantics (missing/unexpected key report).
+
+    Works for the resnet-stem backbones (fba: resnet50; gca: resnet-D-29
+    shares the layerN.M.convK naming). BatchNorm running stats in the
+    torch dict are dropped where the model uses GroupNorm (fba).
+    """
+    import torch
+    sd = torch.load(ckpt_path, map_location="cpu")
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {"encoder." + k: v for k, v in sd.items()}
+    loaded, unmatched = convert_state_dict(model_name, sd)
+    if unmatched and logger:
+        logger.info("ImageNet init: unconverted torch keys: %s",
+                    sorted(unmatched))
+
+    # widen the stem kernel to the model's input width (RGB + trimap chans)
+    def find_stem(tree, path=()):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                got = find_stem(v, path + (k,))
+                if got:
+                    return got
+            elif (k in ("kernel", "kernel_bar") and path
+                  and path[-1] in ("conv1", "block11", "layer0")):
+                return path + (k,)
+        return None
+
+    params = loaded.get("params", {})
+    stem_path = find_stem(params)
+    if stem_path:
+        node, tgt = params, init_variables.get("params", {})
+        for p in stem_path[:-1]:
+            node = node[p]
+            tgt = tgt.get(p, {})
+        leaf = stem_path[-1]
+        want_in = np.shape(tgt.get(leaf, node[leaf]))[2]
+        have_in = np.shape(node[leaf])[2]
+        if want_in > have_in:
+            node[leaf] = widen_conv_in_channels(
+                np.asarray(node[leaf]), want_in)
+            if logger:
+                logger.info("ImageNet init: widened %s input %d -> %d "
+                            "(zero-init extra channels)",
+                            "/".join(stem_path[:-1]), have_in, want_in)
+
+    merged, missing, unexpected = merge_variables(init_variables, loaded)
+    if logger:
+        logger.info("ImageNet init from %s — missing: %d, unexpected: %d",
+                    ckpt_path, len(missing), len(unexpected))
+        logger.info("Missing keys: %s", sorted(missing)[:20])
+        logger.info("Unexpected keys: %s", sorted(unexpected)[:20])
+    return merged, missing, unexpected
 
 
 def load_weights(model_name: str, init_variables: dict, ckpt_path: str,

@@ -36,6 +36,21 @@ def save_image_grid(arr: np.ndarray, path: str, nrow: int = 8,
     cv2.imwrite(path, img)
 
 
+def write_val_triplets(outdir: str, alphas, tris, gts, start_idx: int):
+    """Per-frame pred/tri/gt PNG triplets during validation — the visual
+    sanity artifacts the reference's validate() wrote per epoch
+    (train_ddp.py:129-138). ``alphas``/``tris``/``gts``: [B, H, W, 1] in
+    [0, 1] (center frame). Returns the next index."""
+    os.makedirs(outdir, exist_ok=True)
+    alphas, tris, gts = (np.asarray(t) for t in (alphas, tris, gts))
+    for i in range(alphas.shape[0]):
+        n = start_idx + i
+        for tag, t in (("pred", alphas), ("tri", tris), ("gt", gts)):
+            cv2.imwrite(os.path.join(outdir, f"{n:05d}_{tag}.png"),
+                        np.uint8(np.clip(t[i, ..., 0], 0, 1) * 255))
+    return start_idx + alphas.shape[0]
+
+
 def write_training_images(outdir: str, aux: dict, step: int,
                           max_batch: int = 4):
     """Dump the standard 7-grid set every IMAGE_FREQ iterations."""

@@ -97,6 +97,28 @@ TRAIN:
     for k in ("mSAD", "MSE", "SSDA", "dtSSD", "MESSDdt"):
         assert np.isfinite(metrics["avg"][k]), metrics["avg"]
 
+    # same sweep over a 4-device CPU mesh with a ragged batch (3 % 4 != 0):
+    # the GSPMD data-parallel path of pred_vmn (pad_shard_batch) must write
+    # the same mattes as the single-device run
+    import cv2
+    save4 = str(tmp_path / "pred4")
+    env4 = dict(ENV, XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "pred_vmn.py"),
+         "--model", "dim", "--data", fake_root,
+         "--load", os.path.join(outdir, "cfg", ckpts[0]),
+         "--trimap", "medium", "--save", save4, "--agg_window", "3",
+         "--batch", "3", "--image_shape", "96", "160"],
+        env=env4, capture_output=True, text=True, timeout=3000)
+    assert r.returncode == 0, r.stderr[-3000:]
+    for f in preds:
+        a1 = cv2.imread(os.path.join(save, "clip_b", f), cv2.IMREAD_GRAYSCALE)
+        a4 = cv2.imread(os.path.join(save4, "clip_b", f), cv2.IMREAD_GRAYSCALE)
+        assert a4 is not None, f
+        # identical up to 1 uint8 step (reduction-order noise at the
+        # quantization boundary)
+        assert np.abs(a1.astype(int) - a4.astype(int)).max() <= 1, f
+
 
 @pytest.mark.slow
 def test_pred_single_adobe(tmp_path):

@@ -89,3 +89,35 @@ def test_spatially_sharded_inference_matches(rng):
     got = np.asarray(run(vars_r, jax.device_put(imgs, sh),
                          jax.device_put(tri, sh)))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_sharded_vmd_eval_step_matches_single_device(rng):
+    """pred_vmn's jitted eval step over a 4-way data mesh (replicated
+    params + dim-0-sharded batch, incl. the pad_shard_batch ragged-tail
+    path) must reproduce the single-device outputs — the GSPMD equivalent
+    of the reference's nn.DataParallel inference (pred_vmn.py:85)."""
+    from tcvom_tpu.infer.predict import make_vmd_eval_step
+    from tcvom_tpu.parallel.mesh import pad_shard_batch, replicate
+
+    cfg = FM.TaskConfig(model="vmn_dim", agg_window=3)
+    module = registry.build_model("vmn_dim", agg_window=3)
+    trainer = MattingTrainer(cfg, "vmd")
+    batch = _batch(rng, b=3)           # 3 % 4 != 0: exercises padding
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = make_vmd_eval_step(module, cfg)
+    key = jax.random.PRNGKey(1)
+
+    losses1, alphas1, tris1 = step(state.variables, batch, key)
+
+    mesh = make_mesh(jax.devices()[:4])
+    vars_r = replicate(state.variables, mesh)
+    dev_batch, b = pad_shard_batch(
+        jax.tree.map(np.asarray, batch), mesh)
+    assert b == 3
+    assert next(iter(jax.tree.leaves(dev_batch))).shape[0] == 4
+    losses4, alphas4, tris4 = step(vars_r, dev_batch, key)
+
+    np.testing.assert_allclose(np.asarray(alphas4)[:b], np.asarray(alphas1),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tris4)[:b], np.asarray(tris1),
+                               atol=1e-5)

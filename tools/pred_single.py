@@ -79,15 +79,22 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(0), init_batch)
     variables, _, _ = load_weights(args.model, state.variables, args.load)
 
+    # data-parallel inference over all chips (the reference used
+    # nn.DataParallel, pred_single.py:94)
+    from tcvom_tpu.parallel.mesh import make_mesh, pad_shard_batch, replicate
+    mesh = make_mesh()
+    variables = replicate(variables, mesh)
+
     step = make_single_eval_step(module, cfg)
     c = dataset.sample_length // 2
     key = jax.random.PRNGKey(1)
     msad, mse, count = 0.0, 0.0, 0
     for batch_np in loader:
-        dev = {k: jnp.asarray(batch_np[k]) for k in ("a", "fg", "bg")}
+        dev, b = pad_shard_batch(
+            {k: batch_np[k] for k in ("a", "fg", "bg")}, mesh)
         key, sub = jax.random.split(key)
         losses, alphas, tris = step(variables, dev, sub)
-        alphas, tris = np.asarray(alphas), np.asarray(tris)
+        alphas, tris = np.asarray(alphas)[:b], np.asarray(tris)[:b]
         gts = batch_np["a"][:, c] / 255.0
         for i in range(alphas.shape[0]):
             t = tris[i, ..., 0]

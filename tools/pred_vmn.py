@@ -75,16 +75,27 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(0), init_batch)
     variables, _, _ = load_weights(model_name, state.variables, args.load)
 
+    # data-parallel inference over all chips (the reference used
+    # nn.DataParallel, pred_vmn.py:85): params replicated, batch dim-0
+    # sharded; GSPMD partitions the jitted step
+    from tcvom_tpu.parallel.mesh import make_mesh, pad_shard_batch, replicate
+    mesh = make_mesh()
+    variables = replicate(variables, mesh)
+
     step = make_vmd_eval_step(module, cfg)
     c = dataset.sample_length // 2
     eval_loss = {k: 0.0 for k in
                  ["L_alpha", "L_comp", "L_grad", "L_dt", "L_att", "L_total"]}
     key = jax.random.PRNGKey(1)
     for batch_np in loader:
-        b = batch_np["a"].shape[0]
-        dev = {k: jnp.asarray(batch_np[k]) for k in ("a", "fg", "bg")}
+        # final partial batch: padded by repeating the last sample so every
+        # chip gets work; losses are means over the padded batch (bounded
+        # duplicate-sample bias on that one batch), preds sliced back to b
+        dev, b = pad_shard_batch(
+            {k: batch_np[k] for k in ("a", "fg", "bg")}, mesh)
         key, sub = jax.random.split(key)
         losses, alphas, tris = step(variables, dev, sub)
+        alphas, tris = np.asarray(alphas)[:b], np.asarray(tris)[:b]
         losses = jax.device_get(losses)
         lmap = dict(zip(["L_alpha", "L_comp", "L_grad"], ("L1", "L2", "L3")))
         for name, k in lmap.items():

@@ -47,6 +47,9 @@ def build_argparser():
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder activations in the backward "
                         "pass (fits larger per-chip batches)")
+    p.add_argument("--val_image_batches", type=int, default=2,
+                   help="val batches to dump as pred/tri/gt PNG triplets "
+                        "per epoch (reference train_ddp.py:129-138)")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p
 
@@ -105,6 +108,18 @@ def main():
     state = trainer.init_state(key, sample)
 
     start_epoch = 0
+    if getattr(cfg.TRAIN, "LOAD_IMAGENET", ""):
+        # encoder init from a torch ImageNet ResNet state_dict, stem conv
+        # widened to the model's input channels (reference
+        # train_single_ddp.py:186-196); applied before LOAD_CKPT so a
+        # staged checkpoint can still override
+        from tcvom_tpu.utils.checkpoint import load_imagenet_encoder
+        merged, _, _ = load_imagenet_encoder(
+            cfg.MODEL, state.variables, cfg.TRAIN.LOAD_IMAGENET, logger)
+        params = merged.pop("params")
+        state = state.replace(params=params, model_state=merged)
+        logger.info("=> loaded ImageNet pretrain weight from %s",
+                    cfg.TRAIN.LOAD_IMAGENET)
     if cfg.TRAIN.LOAD_CKPT:
         merged, _, _ = load_weights(cfg.MODEL, state.variables,
                                     cfg.TRAIN.LOAD_CKPT, logger)
@@ -166,11 +181,21 @@ def main():
                                     num_workers=cfg.SYSTEM.NUM_WORKERS,
                                     drop_last=True)
             meter = AverageMeter()
-            for batch in val_loader:
+            # per-epoch pred/tri/gt triplets for the first few val batches
+            # (the reference's validate() image dumps, train_ddp.py:129-138)
+            from tcvom_tpu.utils.visualize import write_val_triplets
+            val_img_dir = os.path.join(outdir, "val_images", f"epoch_{epoch}")
+            dumped = 0
+            for bi, batch in enumerate(val_loader):
                 dev_batch = shard_batch(
                     {k: batch[k] for k in ("a", "fg", "bg")}, mesh)
                 key, sub = jax.random.split(key)
-                meter.update(float(trainer.val_dt_step(state, dev_batch, sub)))
+                l_dt, (pred_c, tri_c, gt_c) = trainer.val_dt_step(
+                    state, dev_batch, sub)
+                meter.update(float(l_dt))
+                if bi < args.val_image_batches:
+                    dumped = write_val_triplets(val_img_dir, pred_c, tri_c,
+                                                gt_c, dumped)
             val_loss = meter.average()
             logger.info("epoch %d val L_dt: %.6f", epoch, val_loss)
 

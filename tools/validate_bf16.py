@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""bf16-vs-f32 numerics guard for the streaming 1080p inference path.
+
+bench.py reports bf16 throughput; this script pins the numerics cost of
+that choice: it streams the same synthetic 1080p clip through the
+flagship model (vmn_fba, seeded random init) in f32 and bf16 and reports
+the alpha deltas plus the dtSSD each dtype would score (the headline
+temporal-coherence metric, reference calc_metric.py:31-34). Run on the
+real chip; the JSON artifact (bf16_guard.json) is committed per round.
+
+    python tools/validate_bf16.py [--frames 5] [--out bf16_guard.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+
+_CACHE = pathlib.Path(__file__).resolve().parents[1] / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from tcvom_tpu.infer.predict import StreamingPredictor
+from tcvom_tpu.models import full_model as FM
+from tcvom_tpu.models import registry
+
+
+def synth_clip(frames, h, w, seed=0):
+    """Moving soft disc: non-trivial alpha gradients + temporal motion."""
+    rng = np.random.RandomState(seed)
+    bg = rng.randint(0, 256, (h, w, 3)).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    for i in range(frames):
+        cy, cx = h * 0.45 + 30 * i, w * 0.5 + 40 * i
+        d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+        alpha = np.clip((260.0 - d) / 120.0, 0, 1)
+        img = alpha[..., None] * rng.randint(100, 200, 3) + \
+            (1 - alpha[..., None]) * bg
+        tri = np.where(alpha > 0.95, 255.0, np.where(alpha < 0.05, 0.0, 128.0))
+        yield img[None].astype(np.float32), tri[None, ..., None].astype(np.float32), alpha
+
+
+def stream(module, variables, cfg, clip, dtype):
+    sp = StreamingPredictor(module, variables, cfg, dtype=dtype)
+    state, outs = None, []
+    for img, tri, _ in clip:
+        state, out = sp.step(state, img, tri)
+        if out is not None:
+            outs.append(np.asarray(out[0] if isinstance(out, tuple) else out))
+    out = sp.flush(state)
+    outs.append(np.asarray(out[0] if isinstance(out, tuple) else out))
+    return np.concatenate(outs, 0)          # [T, H, W, 1]
+
+
+def dtssd(alphas, gts):
+    """sqrt(mean((dA_pred - dA_gt)^2)) per frame pair, x100 like the
+    reference (calc_metric.py:31-34)."""
+    da = np.diff(alphas[..., 0], axis=0)
+    dg = np.diff(gts, axis=0)
+    return float(np.mean(np.sqrt(np.mean((da - dg) ** 2, axis=(1, 2)))) * 100)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=5)
+    ap.add_argument("--size", type=int, nargs=2, default=(1088, 1920))
+    ap.add_argument("--out", default=str(
+        pathlib.Path(__file__).resolve().parents[1] / "bf16_guard.json"))
+    args = ap.parse_args()
+    h, w = args.size
+
+    name = "vmn_fba"
+    cfg = FM.TaskConfig(model=name, agg_window=7)
+    module = registry.build_model(name, agg_window=7)
+    x = jnp.zeros((1, 3, h, w, 3 + cfg.trimap_channels), jnp.float32)
+    masks = jnp.ones((1, 3, h, w, 1), jnp.float32)
+    extras = (jnp.zeros((1, 3, h, w, 3)), jnp.zeros((1, 3, h, w, 2)))
+    variables = jax.jit(lambda: module.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        x, masks, extras=extras, train=False))()
+
+    clip = list(synth_clip(args.frames, h, w))
+    gts = np.stack([c[2] for c in clip])
+    a32 = stream(module, variables, cfg, clip, None)
+    a16 = stream(module, variables, cfg, clip, jnp.bfloat16)
+
+    d = np.abs(a32 - a16)
+    report = {
+        "model": name, "frames": args.frames, "hw": [h, w],
+        "mean_abs_dalpha": float(d.mean()),
+        "max_abs_dalpha": float(d.max()),
+        "p999_abs_dalpha": float(np.quantile(d, 0.999)),
+        "dtssd_f32": round(dtssd(a32, gts), 4),
+        "dtssd_bf16": round(dtssd(a16, gts), 4),
+    }
+    report["dtssd_rel_delta"] = abs(
+        report["dtssd_bf16"] - report["dtssd_f32"]) / max(
+        report["dtssd_f32"], 1e-9)
+    print(json.dumps(report, indent=1))
+    pathlib.Path(args.out).write_text(json.dumps(report, indent=1) + "\n")
+    # guard: bf16 must not move the headline temporal metric by >1% —
+    # the same tolerance BASELINE.md applies to checkpoint parity
+    assert report["dtssd_rel_delta"] < 0.01, report
+
+
+if __name__ == "__main__":
+    main()
