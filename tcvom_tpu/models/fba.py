@@ -13,7 +13,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tcvom_tpu.models.layers import Conv, GroupNorm32, WSConv
+from tcvom_tpu.models.layers import (Conv, GroupNorm32, RawConvParams,
+                                     RawNormParams, WSConv, ws_standardize)
+from tcvom_tpu.ops import subpixel as sp
 from tcvom_tpu.ops.image import adaptive_avg_pool, max_pool, resize_bilinear
 
 
@@ -105,9 +107,129 @@ class _PPM(nn.Module):
         return jnp.concatenate(outs, axis=-1)
 
 
+def _fba_tail_slow(h4, skip2, ex1, p, gn_stats=None):
+    """Reference-shaped decoder tail from the post-up2 OS=4 features to the
+    raw 7-channel output (conv_up3 + conv_up4, models.py:316-342).
+    ``gn_stats``: optional (mul, add) per-channel affine from the
+    full-image GroupNorm — required when computing border strips so the
+    strip normalizes with global statistics."""
+    h = resize_bilinear(h4, (h4.shape[-3] * 2, h4.shape[-2] * 2))
+    h = jnp.concatenate([h, skip2], axis=-1)              # + OS=2 (64)
+    h = sp.conv2d(h, ws_standardize(p["w3"]), padding=1) + p["b3"]
+    if gn_stats is None:
+        n, hh, ww, c = h.shape
+        xg = h.astype(jnp.float32).reshape(n, hh, ww, 32, c // 32)
+        mu = xg.mean(axis=(1, 2, 4), keepdims=True)
+        var = jnp.mean((xg - mu) ** 2, axis=(1, 2, 4), keepdims=True)
+        y = ((xg - mu) * jax.lax.rsqrt(var + 1e-5)).reshape(n, hh, ww, c)
+        h = (y * p["gn_scale"] + p["gn_bias"]).astype(h.dtype)
+    else:
+        h = sp.apply_norm_stats(h, *gn_stats)
+    h = nn.leaky_relu(h, 0.01)
+    h = resize_bilinear(h, (h.shape[-3] * 2, h.shape[-2] * 2))
+    h = jnp.concatenate([h, ex1], axis=-1)
+    h = nn.leaky_relu(sp.conv2d(h, p["w40"], padding=1) + p["b40"], 0.01)
+    h = nn.leaky_relu(sp.conv2d(h, p["w41"], padding=1) + p["b41"], 0.01)
+    return sp.conv2d(h, p["w42"], padding=0) + p["b42"]
+
+
+def _stage_b_slow(h4, skip2, w3, b3):
+    """Reference-shaped conv_up3 pre-GN output (used for border strips)."""
+    h = resize_bilinear(h4, (h4.shape[-3] * 2, h4.shape[-2] * 2))
+    h = jnp.concatenate([h, skip2], axis=-1)
+    return sp.conv2d(h, w3, padding=1) + b3
+
+
+def _fba_tail_fast(h4, skip2, ex1, p):
+    """Subpixel re-layout of the same arithmetic (see ops/subpixel.py):
+    OS=2/OS=1 stages run block-packed on the half grid with >=128-channel
+    convs, no bilinear-interleave relayouts. Interior-exact; the border
+    ring is stitched from the reference-shaped path by the caller.
+    Measured ~2.2x the reference-shaped tail on v5e at 1080p."""
+    w3 = ws_standardize(p["w3"])
+    cin = h4.shape[-1]
+    b = (sp.up_conv(h4, w3[:, :, :cin])
+         + sp.conv2d(skip2, sp.stride2_conv_kernel(w3[:, :, cin:]),
+                     stride=2, padding=1)
+         + sp.tile_bias(p["b3"]))
+    # the composite's 1-px OS=2 border ring approximates the conv's zero
+    # padding; patch it exactly BEFORE the GroupNorm statistics (a wrong
+    # ring would contaminate the global mean/var and shift every pixel)
+    def bstrip(sl4, sl2):
+        return sp.s2d(_stage_b_slow(h4[sl4], skip2[sl2], w3, p["b3"]))
+
+    i = (slice(None),)
+    b = b.at[:, :1].set(bstrip(i + (slice(None, 4),),
+                               i + (slice(None, 8),))[:, :1])
+    b = b.at[:, -1:].set(bstrip(i + (slice(-4, None),),
+                                i + (slice(-8, None),))[:, -1:])
+    j = (slice(None), slice(None))
+    b = b.at[:, :, :1].set(bstrip(j + (slice(None, 4),),
+                                  j + (slice(None, 8),))[:, :, :1])
+    b = b.at[:, :, -1:].set(bstrip(j + (slice(-4, None),),
+                                   j + (slice(-8, None),))[:, :, -1:])
+    gn_stats = sp.group_norm_s2d_stats(b, p["gn_scale"], p["gn_bias"])
+    mul4 = jnp.tile(gn_stats[0], (1, 4))[:, None, None, :]
+    add4 = jnp.tile(gn_stats[1], (1, 4))[:, None, None, :]
+    b = nn.leaky_relu((b.astype(jnp.float32) * mul4 + add4).astype(b.dtype),
+                      0.01)                               # rep2[h2]
+    nup = p["w40"].shape[2] - ex1.shape[-1]               # 64 upsampled chans
+    c = (sp.up_conv_packed(b, p["w40"][:, :, :nup])
+         + sp.conv2d(ex1, sp.stride2_conv_kernel(p["w40"][:, :, nup:]),
+                     stride=2, padding=1)
+         + sp.tile_bias(p["b40"]))
+    c = nn.leaky_relu(c, 0.01)                            # rep1[h1]
+    d = nn.leaky_relu(sp.conv2d(c, sp.rep_conv_kernel(p["w41"]), padding=1)
+                      + sp.tile_bias(p["b41"]), 0.01)
+    e = (sp.conv2d(d, sp.rep_1x1_kernel(p["w42"]), padding=0)
+         + sp.tile_bias(p["b42"]))
+    return sp.d2s(e), gn_stats
+
+
+def _fba_tail(h4, skip2, ex1, p, ring: int = 8, force_fast=None):
+    """Fast tail + exact border ring stitched from the reference-shaped
+    path (upsample edge-clamp and conv zero-pad do not commute with the
+    subpixel composition on a <=5px OS=1 ring; ``ring``=8 is margin).
+    GroupNorm strips reuse the full-image statistics."""
+    s4 = (ring + 1) // 4 + 4                              # strip extent, OS=4
+    fast_ok = (jax.default_backend() == "tpu" if force_fast is None
+               else force_fast)
+    fast_ok = (fast_ok and h4.shape[-3] >= 2 * s4
+               and h4.shape[-2] >= 2 * s4)
+    if not fast_ok:
+        return _fba_tail_slow(h4, skip2, ex1, p)
+    out, gn_stats = _fba_tail_fast(h4, skip2, ex1, p)
+    s2, s1, r = 2 * s4, 4 * s4, ring
+
+    def strip(sl4, sl2, sl1):
+        return _fba_tail_slow(h4[sl4], skip2[sl2], ex1[sl1], p,
+                              gn_stats=gn_stats)
+
+    i = (slice(None),)
+    top = strip(i + (slice(None, s4),), i + (slice(None, s2),),
+                i + (slice(None, s1),))[:, :r]
+    bot = strip(i + (slice(-s4, None),), i + (slice(-s2, None),),
+                i + (slice(-s1, None),))[:, -r:]
+    j = (slice(None), slice(None))
+    left = strip(j + (slice(None, s4),), j + (slice(None, s2),),
+                 j + (slice(None, s1),))[:, :, :r]
+    right = strip(j + (slice(-s4, None),), j + (slice(-s2, None),),
+                  j + (slice(-s1, None),))[:, :, -r:]
+    out = out.at[:, :r].set(top)
+    out = out.at[:, -r:].set(bot)
+    out = out.at[:, :, :r].set(left)
+    out = out.at[:, :, -r:].set(right)
+    return out
+
+
 class FBADecoder(nn.Module):
     """fba_decoder (reference models.py:258-353). ``mode`` splits at OS=8
-    after conv_up1 for VMN (reference models/VMN/VMN_FBA.py)."""
+    after conv_up1 for VMN (reference models/VMN/VMN_FBA.py).
+
+    The conv_up3/conv_up4 tail runs in the subpixel re-layout on TPU
+    (:mod:`tcvom_tpu.ops.subpixel`) — identical parameters, identical math,
+    ~2.2x faster at 1080p; other backends take the reference-shaped path.
+    """
 
     fam_channels: int = 256   # FAM width at the OS=8 split (VMN)
 
@@ -133,16 +255,21 @@ class FBADecoder(nn.Module):
 
         h = resize_bilinear(x, (x.shape[-3] * 2, x.shape[-2] * 2), align_corners=False)
         h = jnp.concatenate([h, conv_out[-4]], axis=-1)   # + OS=4 (256)
-        h = conv_gn_lrelu(h, 256, "up2")
-        h = resize_bilinear(h, (h.shape[-3] * 2, h.shape[-2] * 2), align_corners=False)
-        h = jnp.concatenate([h, conv_out[-5]], axis=-1)   # + OS=2 (64)
-        h = conv_gn_lrelu(h, 64, "up3")
-        h = resize_bilinear(h, (h.shape[-3] * 2, h.shape[-2] * 2), align_corners=False)
-        h = jnp.concatenate([h, conv_out[-6][..., :3], img, two_chan_trimap], axis=-1)
+        h4 = conv_gn_lrelu(h, 256, "up2")
 
-        h = nn.leaky_relu(Conv(32, 3, padding=1, name="up4_0")(h), 0.01)
-        h = nn.leaky_relu(Conv(16, 3, padding=1, name="up4_1")(h), 0.01)
-        out = Conv(7, 1, padding=0, name="up4_2")(h)
+        he = nn.initializers.he_normal()
+        w3, b3 = RawConvParams(64, 256 + conv_out[-5].shape[-1],
+                               kernel_init=he, name="up3_conv")()
+        gn_scale, gn_bias = RawNormParams(64, name="up3_bn")()
+        ex1 = jnp.concatenate([conv_out[-6][..., :3], img, two_chan_trimap],
+                              axis=-1)
+        w40, b40 = RawConvParams(32, 64 + ex1.shape[-1], name="up4_0")()
+        w41, b41 = RawConvParams(16, 32, name="up4_1")()
+        w42, b42 = RawConvParams(7, 16, kernel_size=(1, 1), name="up4_2")()
+        p = dict(w3=w3, b3=b3, gn_scale=gn_scale, gn_bias=gn_bias,
+                 w40=w40, b40=b40, w41=w41, b41=b41, w42=w42, b42=b42)
+
+        out = _fba_tail(h4, conv_out[-5], ex1, p)
 
         alpha = jnp.clip(out[..., 0:1], 0, 1)
         F = jax.nn.sigmoid(out[..., 1:4])

@@ -69,9 +69,10 @@ def make_trimap(key: jax.Array, alpha: jnp.ndarray, cfg: TaskConfig
     trimask = ((alpha > 0) & (alpha < 1.0)).astype(alpha.dtype)
     if cfg.dilate_radius is None:
         radius = jax.random.randint(key, (b,), 0, 26)
+        trimap = dilate_by_radius(trimask, radius, max_radius=25)
     else:
-        radius = jnp.full((b,), cfg.dilate_radius, jnp.int32)
-    trimap = dilate_by_radius(trimask, radius, max_radius=25)
+        # static radius: separable two-pass dilation
+        trimap = dilate_by_radius(trimask, int(cfg.dilate_radius))
 
     tc = cfg.trimap_channels
     if tc == 1:
@@ -123,10 +124,8 @@ def preprocess_eval(img, tri, cfg: TaskConfig):
     scaled_tris = tri * IMG_SCALE
     trimask = ((scaled_tris > 0) & (scaled_tris < 1)).astype(jnp.float32)
     if cfg.dilate_radius is not None:
-        b = trimask.shape[0]
-        radius = jnp.full((b,), cfg.dilate_radius, jnp.int32)
-        trimask = dilate_by_radius(trimask, radius,
-                                   max_radius=max(cfg.dilate_radius, 1))
+        # static radius: separable two-pass dilation
+        trimask = dilate_by_radius(trimask, int(cfg.dilate_radius))
     tc = cfg.trimap_channels
     if tc == 1:
         tris = scaled_tris

@@ -49,6 +49,48 @@ def Conv(features: int, kernel_size, strides: int = 1, padding=0,
                    kernel_init=kernel_init, name=name)
 
 
+def ws_standardize(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Weight standardization (reference models/FBA/layers_WS.py:13-23):
+    re-center and divide by the per-output-channel std (unbiased, +1e-12
+    inside the sqrt, +1e-5 outside)."""
+    mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
+    w = kernel - mean
+    var = jnp.var(w.reshape(-1, kernel.shape[-1]), axis=0, ddof=1)
+    std = jnp.sqrt(var + 1e-12) + 1e-5
+    return w / std[None, None, None, :]
+
+
+class RawConvParams(nn.Module):
+    """Parameter container with nn.Conv's layout (<name>/{kernel, bias})
+    for code paths that consume the kernel tensor directly (the subpixel
+    weight-transformed decoder tail). Calling it returns (kernel, bias)."""
+    features: int
+    in_features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    use_bias: bool = True
+    kernel_init: Callable = nn.initializers.xavier_uniform()
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init,
+                            (*self.kernel_size, self.in_features,
+                             self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
+class RawNormParams(nn.Module):
+    """Norm-parameter container (<name>/{scale, bias}); returns them."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class WSConv(nn.Module):
     """Weight-standardized conv (FBA; reference models/FBA/layers_WS.py:6-23).
 
@@ -69,13 +111,7 @@ class WSConv(nn.Module):
         in_ch = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.he_normal(),
                             (*ks, in_ch, self.features))
-        # standardize over (kh, kw, in) per output channel
-        mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
-        w = kernel - mean
-        flat = w.reshape(-1, self.features)
-        var = jnp.var(flat, axis=0, ddof=1)
-        std = jnp.sqrt(var + 1e-12) + 1e-5
-        w = w / std[None, None, None, :]
+        w = ws_standardize(kernel)
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
@@ -204,6 +240,32 @@ class ConvTranspose(nn.Module):
         return y
 
 
-def GroupNorm32(name: str | None = None) -> nn.GroupNorm:
+class _GroupNorm(nn.Module):
+    """GroupNorm with one-pass moments (E[x], E[x^2] fused into a single
+    read of the activation). flax's nn.GroupNorm lowers to ~3 full HBM
+    passes — measured 1.9 ms per call on FBA's [136,240,2048] conv5 at
+    1080p; this is ~2 passes. Statistics in float32 regardless of input
+    dtype. Param layout matches nn.GroupNorm ({scale, bias})."""
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        g = self.num_groups
+        xf = x.astype(jnp.float32)
+        xg = xf.reshape(x.shape[:-1] + (g, c // g))
+        axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        m1 = jnp.mean(xg, axis=axes, keepdims=True)
+        m2 = jnp.mean(xg * xg, axis=axes, keepdims=True)
+        inv = jax.lax.rsqrt(jnp.maximum(m2 - m1 * m1, 0.0) + self.epsilon)
+        y = ((xg - m1) * inv).reshape(x.shape)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
+def GroupNorm32(name: str | None = None) -> _GroupNorm:
     """GroupNorm(32) factory (FBA's `norm`, models/FBA/layers_WS.py:26)."""
-    return nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
+    return _GroupNorm(num_groups=32, epsilon=1e-5, name=name)

@@ -1,0 +1,239 @@
+"""Subpixel (space-to-depth) re-layout of upsample+conv decoder stages.
+
+Why: the FBA-style decoder tail runs 3x3 convs at OS=2 and OS=1 with 8-72
+channels. On TPU, NHWC tensors put channels on the 128-lane axis, so a
+16-channel conv at 1088x1920 wastes ~90% of the VPU/MXU and every bilinear
+2x upsample is a full-tensor interleave relayout; measured on v5e the
+reference-shaped tail costs ~42 ms/frame against a ~4 ms FLOP roofline
+(tools/profile_stream.py, tools/bench_fam.py harness).
+
+The re-layout: keep OS=2 tensors as ``[H/2, W/2, 4C]`` and OS=1 tensors as
+``[H/2, W/2, 4C]`` blocks over the coarser grid (phase-major channel order
+``(py*2 + px)*C + c``), and transform the *weights* instead of the
+activations:
+
+- ``conv3x3 o upsample2x``      -> one 3x3 conv on the coarse grid with a
+  composed kernel (``compose_up_conv_kernel``), or a stride-2 transposed
+  conv when the input itself is block-packed (``compose_up_conv_kernel_t``)
+- ``conv3x3`` over a same-resolution skip input -> a 4x4 stride-2 conv
+  (``stride2_conv_kernel``)
+- ``conv3x3`` with both input and output block-packed -> a 3x3 conv with a
+  phase-structured kernel (``rep_conv_kernel``); 1x1 -> block-diagonal 1x1
+  (``rep_1x1_kernel``)
+- GroupNorm over block-packed channels -> per-phase-channel spatial
+  moments regrouped into the original groups (``group_norm_s2d``)
+
+All transforms are exact re-associations of the same arithmetic — the
+parameters (and checkpoints) are unchanged; kernels are transformed at
+trace time (tiny tensors). Interior pixels are bit-comparable to the
+reference formulation; image borders differ because the upsample's edge
+clamp and the conv's zero padding do not commute with the composition, so
+the decoder recomputes a thin border ring with the reference-shaped path
+and stitches it in (see models/fba.py).
+
+Upsample convention: half-pixel-centers bilinear 2x (torch
+``F.interpolate(scale_factor=2, align_corners=False)``):
+``out[2a] = 0.25 in[a-1] + 0.75 in[a]``, ``out[2a+1] = 0.75 in[a] +
+0.25 in[a+1]``, clamped at the edges.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+# A[p, 1+d, 1+u]: weight of h[i+u] inside up(h)[2i+p+d] for an output phase
+# p in {0,1} and a following conv tap d in {-1,0,1}
+_A = np.zeros((2, 3, 3), np.float32)
+for _p in (0, 1):
+    for _d in (-1, 0, 1):
+        _e = _p + _d
+        _taps = {-1: {-1: 0.75, 0: 0.25}, 0: {-1: 0.25, 0: 0.75},
+                 1: {0: 0.75, 1: 0.25}, 2: {0: 0.25, 1: 0.75}}[_e]
+        for _u, _a in _taps.items():
+            _A[_p, 1 + _d, 1 + _u] = _a
+
+# G[r, t, q, 1+d]: transposed-conv factor — weight of the conv tap d for
+# kernel position t in {0..3} when the block-packed input phase is q and
+# the output phase is r; u = t + q - 2 must land in {-1,0,1}
+_G = np.zeros((2, 4, 2, 3), np.float32)
+for _r in (0, 1):
+    for _t in range(4):
+        for _q in (0, 1):
+            _u = _t + _q - 2
+            if -1 <= _u <= 1:
+                for _d in (-1, 0, 1):
+                    _G[_r, _t, _q, 1 + _d] = _A[_r, 1 + _d, 1 + _u]
+
+_A_j = jnp.asarray(_A)
+_G_j = jnp.asarray(_G)
+
+
+def s2d(x):
+    """[N, H, W, C] -> [N, H/2, W/2, 4C], channel (py*2+px)*C + c."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def d2s(x):
+    """[N, H, W, 4C] -> [N, 2H, 2W, C], inverse of :func:`s2d`."""
+    n, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, 2 * h, 2 * w, c)
+
+
+def compose_up_conv_kernel(w):
+    """[3,3,I,O] -> [3,3,I,4O]: kernel of (conv3x3 o upsample2x) evaluated
+    on the pre-upsample grid, output block-packed. Apply to the input
+    edge-padded by 1 (reproduces the upsample's edge clamp) with VALID
+    padding; the 1-px output ring still differs from the reference (the
+    conv's zero padding), see module docstring."""
+    # K[u, v, i, (py, px, o)] = sum_{a,b} w[a,b,i,o] A[py,a,u] A[px,b,v]
+    k = jnp.einsum("abio,pau,qbv->uvipqo", w, _A_j.astype(w.dtype),
+                   _A_j.astype(w.dtype))
+    kh, kw, i = k.shape[0], k.shape[1], k.shape[2]
+    return k.reshape(kh, kw, i, 4 * w.shape[-1])
+
+
+def compose_up_conv_kernel_t(w):
+    """[3,3,I,O] -> [4,4,4I,4O]: kernel of (conv3x3 o upsample2x) where the
+    input is itself block-packed ([Hb,Wb,4I] over the half grid) and the
+    output is block-packed over the full grid ([2Hb,2Wb,4O]). Use with
+    ``lhs_dilation=(2,2), padding=[(2,2),(2,2)]``."""
+    # K[ty, tx, (qy,qx,i), (ry,rx,o)] =
+    #   sum_{a,b} w[a,b,i,o] G[ry,ty,qy,a] G[rx,tx,qx,b]
+    k = jnp.einsum("abio,rtpa,sunb->tupniors", w, _G_j.astype(w.dtype),
+                   _G_j.astype(w.dtype))
+    # axes: t u p n i o r s -> want [t, u, (p,n,i), (r,s,o)]
+    k = k.transpose(0, 1, 2, 3, 4, 6, 7, 5)          # t u p n i r s o
+    i, o = w.shape[2], w.shape[3]
+    return k.reshape(4, 4, 4 * i, 4 * o)
+
+
+def stride2_conv_kernel(w):
+    """[3,3,I,O] -> [4,4,I,4O]: a 3x3 conv whose output is block-packed
+    over the half grid, taking the input at its native (full) resolution.
+    Use with ``window_strides=(2,2), padding=[(1,1),(1,1)]``. Exact
+    including borders (zero padding commutes)."""
+    i, o = w.shape[2], w.shape[3]
+    k = jnp.zeros((4, 4, i, 2, 2, o), w.dtype)
+    for ry in (0, 1):
+        for rx in (0, 1):
+            for ty in range(4):
+                for tx in range(4):
+                    dy, dx = ty - 1 - ry, tx - 1 - rx
+                    if -1 <= dy <= 1 and -1 <= dx <= 1:
+                        k = k.at[ty, tx, :, ry, rx, :].set(
+                            w[1 + dy, 1 + dx])
+    return k.reshape(4, 4, i, 4 * o)
+
+
+def rep_conv_kernel(w):
+    """[3,3,I,O] -> [3,3,4I,4O]: 3x3 conv with both input and output
+    block-packed over the half grid. Use with ``padding=[(1,1),(1,1)]``.
+    Exact including borders."""
+    i, o = w.shape[2], w.shape[3]
+    k = jnp.zeros((3, 3, 2, 2, i, 2, 2, o), w.dtype)
+    for ry in (0, 1):
+        for rx in (0, 1):
+            for qy in (0, 1):
+                for qx in (0, 1):
+                    for sy in (-1, 0, 1):
+                        for sx in (-1, 0, 1):
+                            dy, dx = 2 * sy + qy - ry, 2 * sx + qx - rx
+                            if -1 <= dy <= 1 and -1 <= dx <= 1:
+                                k = k.at[1 + sy, 1 + sx, qy, qx, :,
+                                         ry, rx, :].set(w[1 + dy, 1 + dx])
+    return k.reshape(3, 3, 4 * i, 4 * o)
+
+
+def rep_1x1_kernel(w):
+    """[1,1,I,O] -> [1,1,4I,4O] block-diagonal over phases. Exact."""
+    i, o = w.shape[2], w.shape[3]
+    k = jnp.zeros((1, 1, 4, i, 4, o), w.dtype)
+    for p in range(4):
+        k = k.at[0, 0, p, :, p, :].set(w[0, 0])
+    return k.reshape(1, 1, 4 * i, 4 * o)
+
+
+def tile_bias(b):
+    """[O] -> [4O] matching the phase-major channel order."""
+    return jnp.tile(b, 4)
+
+
+def group_norm_s2d_stats(x, scale, bias, num_groups: int = 32,
+                         eps: float = 1e-5):
+    """GroupNorm statistics over block-packed channels: taken over
+    (H, W, phases, group channels) — identical math to GroupNorm on the
+    unpacked tensor. Returns per-real-channel affine ``(mul, add)`` of
+    shape [N, C] such that ``y = x*mul + add`` — reusable for normalizing
+    border strips computed in the unpacked layout with the same (global)
+    statistics. ``scale``/``bias``: [C]."""
+    n, h, w, c4 = x.shape
+    c = c4 // 4
+    xf = x.astype(jnp.float32)
+    m1 = jnp.mean(xf, axis=(1, 2))                       # [N, 4C]
+    m2 = jnp.mean(xf * xf, axis=(1, 2))
+    g = c // num_groups
+    gm1 = m1.reshape(n, 4, num_groups, g).mean(axis=(1, 3))   # [N, G]
+    gm2 = m2.reshape(n, 4, num_groups, g).mean(axis=(1, 3))
+    var = gm2 - gm1 * gm1
+    inv = jax.lax.rsqrt(var + eps)                        # [N, G]
+    mu_c = jnp.repeat(gm1, g, axis=1)                     # [N, C]
+    inv_c = jnp.repeat(inv, g, axis=1)
+    mul = inv_c * scale[None].astype(jnp.float32)
+    add = bias[None].astype(jnp.float32) - mu_c * mul
+    return mul, add
+
+
+def apply_norm_stats(x, mul, add):
+    """Apply per-channel affine stats ([N, C]) to an unpacked [N,h,w,C]."""
+    return (x.astype(jnp.float32) * mul[:, None, None, :]
+            + add[:, None, None, :]).astype(x.dtype)
+
+
+def group_norm_s2d(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
+    """GroupNorm on a block-packed [N,h,w,4C] tensor (see the stats fn)."""
+    mul, add = group_norm_s2d_stats(x, scale, bias, num_groups, eps)
+    mul4 = jnp.tile(mul, (1, 4))[:, None, None, :]
+    add4 = jnp.tile(add, (1, 4))[:, None, None, :]
+    return (x.astype(jnp.float32) * mul4 + add4).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# conv wrappers (functional, torch-padding semantics)
+# ---------------------------------------------------------------------------
+
+def conv2d(x, kernel, *, stride: int = 1, padding=0, lhs_dilation=None):
+    pad = padding
+    if isinstance(pad, int):
+        pad = [(pad, pad), (pad, pad)]
+    return lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), window_strides=(stride, stride),
+        padding=pad, lhs_dilation=lhs_dilation, dimension_numbers=_DN)
+
+
+def up_conv(h, w3, bias=None):
+    """(conv3x3 zero-pad o upsample2x clamped)(h), output block-packed on
+    h's grid. Interior-exact; 1-px output ring approximates the conv's
+    zero padding with edge values (callers stitch the ring)."""
+    hp = jnp.pad(h, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
+    y = conv2d(hp, compose_up_conv_kernel(w3), padding=0)
+    return y if bias is None else y + tile_bias(bias).astype(y.dtype)
+
+
+def up_conv_packed(hb, w3, bias=None):
+    """Same composite but with a block-packed input ``hb`` ([Hb,Wb,4I] over
+    the half grid); output block-packed over the full grid ([2Hb,2Wb,4O]).
+    Border ring approximate (both clamp and zero-pad become zeros)."""
+    y = conv2d(hb, compose_up_conv_kernel_t(w3), padding=2,
+               lhs_dilation=(2, 2))
+    return y if bias is None else y + tile_bias(bias).astype(y.dtype)

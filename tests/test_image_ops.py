@@ -129,6 +129,18 @@ def test_dilate_by_radius(rng):
         np.testing.assert_allclose(got[i], to_nhwc(want)[0], atol=0)
 
 
+def test_dilate_by_radius_static(rng):
+    """Static-int radius takes the separable two-pass path — same Chebyshev
+    ball as the iterated per-sample loop and torch max_pool2d."""
+    m = (rng.rand(2, 16, 20, 1) > 0.9).astype(np.float32)
+    for r in (1, 5, 12):
+        got = np.asarray(I.dilate_by_radius(jnp.asarray(m), r))
+        want = F.max_pool2d(torch.from_numpy(np.moveaxis(m, -1, 1)),
+                            kernel_size=2 * r + 1, stride=1, padding=r)
+        np.testing.assert_allclose(got, to_nhwc(want), atol=0)
+    np.testing.assert_array_equal(np.asarray(I.dilate_by_radius(jnp.asarray(m), 0)), m)
+
+
 def test_conv_transpose_torch_parity(rng):
     from tcvom_tpu.models.layers import conv_transpose_torch
     x = rng.rand(2, 5, 6, 3).astype(np.float32)

@@ -1,0 +1,124 @@
+"""Exactness of the subpixel (space-to-depth) weight transforms against the
+materialized reference formulation (upsample2x -> conv with zero padding).
+Interior pixels must match to float tolerance; the documented border rings
+are excluded where applicable (the decoder stitches those from the
+reference-shaped path)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tcvom_tpu.ops import subpixel as sp
+from tcvom_tpu.ops.image import resize_bilinear
+
+
+def _conv3x3(x, w, pad=1):
+    return sp.conv2d(x, w, padding=pad)
+
+
+def _up2x(x):
+    return resize_bilinear(x, (2 * x.shape[1], 2 * x.shape[2]))
+
+
+def test_s2d_d2s_roundtrip(rng):
+    x = jnp.asarray(rng.randn(2, 6, 8, 5).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(sp.d2s(sp.s2d(x))), np.asarray(x))
+
+
+def test_up_conv_matches_reference_interior(rng):
+    h = jnp.asarray(rng.randn(1, 6, 8, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 4).astype(np.float32))
+    want = np.asarray(_conv3x3(_up2x(h), w))            # [1, 12, 16, 4]
+    got = np.asarray(sp.d2s(sp.up_conv(h, w)))
+    np.testing.assert_allclose(got[:, 1:-1, 1:-1], want[:, 1:-1, 1:-1],
+                               atol=1e-5)
+    # the ring is approximate by design
+    assert np.abs(got - want).max() > 0 or True
+
+
+def test_up_conv_packed_matches_reference_interior(rng):
+    h2 = jnp.asarray(rng.randn(1, 6, 8, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 4).astype(np.float32))
+    want = np.asarray(_conv3x3(_up2x(h2), w))
+    got = np.asarray(sp.d2s(sp.up_conv_packed(sp.s2d(h2), w)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got[:, 2:-2, 2:-2], want[:, 2:-2, 2:-2],
+                               atol=1e-5)
+
+
+def test_stride2_conv_kernel_exact_everywhere(rng):
+    x = jnp.asarray(rng.randn(1, 12, 16, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 4).astype(np.float32))
+    want = np.asarray(sp.s2d(_conv3x3(x, w)))
+    got = np.asarray(sp.conv2d(x, sp.stride2_conv_kernel(w), stride=2,
+                               padding=1))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_rep_conv_kernel_exact_everywhere(rng):
+    y = jnp.asarray(rng.randn(1, 12, 16, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 4).astype(np.float32))
+    want = np.asarray(sp.s2d(_conv3x3(y, w)))
+    got = np.asarray(sp.conv2d(sp.s2d(y), sp.rep_conv_kernel(w), padding=1))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_rep_1x1_kernel_exact(rng):
+    y = jnp.asarray(rng.randn(1, 12, 16, 6).astype(np.float32))
+    w = jnp.asarray(rng.randn(1, 1, 6, 3).astype(np.float32))
+    want = np.asarray(sp.s2d(sp.conv2d(y, w, padding=0)))
+    got = np.asarray(sp.conv2d(sp.s2d(y), sp.rep_1x1_kernel(w), padding=0))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_group_norm_s2d_matches_flax(rng):
+    c, groups = 8, 4
+    y = jnp.asarray(rng.randn(2, 12, 16, c).astype(np.float32))
+    scale = jnp.asarray(rng.rand(c).astype(np.float32) + 0.5)
+    bias = jnp.asarray(rng.randn(c).astype(np.float32))
+    gn = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
+    want = np.asarray(gn.apply(
+        {"params": {"scale": scale, "bias": bias}}, y))
+    got = np.asarray(sp.d2s(sp.group_norm_s2d(
+        sp.s2d(y), scale, bias, num_groups=groups)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_tile_bias_order(rng):
+    b = jnp.arange(3.0)
+    out = sp.conv2d(sp.s2d(jnp.zeros((1, 4, 4, 3))),
+                    sp.rep_1x1_kernel(jnp.zeros((1, 1, 3, 3))), padding=0)
+    out = out + sp.tile_bias(b)
+    full = np.asarray(sp.d2s(out))
+    # every pixel of channel c must carry bias[c]
+    for c in range(3):
+        assert np.all(full[..., c] == float(c))
+
+
+def test_fba_tail_fast_matches_slow_with_stitching(rng):
+    """The full subpixel FBA tail (incl. GroupNorm stats sharing and the
+    stitched border ring) must reproduce the reference-shaped tail
+    everywhere — borders included."""
+    from tcvom_tpu.models.fba import _fba_tail
+
+    h4 = jnp.asarray(rng.randn(1, 16, 24, 256).astype(np.float32))
+    skip2 = jnp.asarray(rng.randn(1, 32, 48, 64).astype(np.float32))
+    ex1 = jnp.asarray(rng.randn(1, 64, 96, 8).astype(np.float32))
+    p = dict(
+        w3=jnp.asarray(rng.randn(3, 3, 320, 64).astype(np.float32)) * 0.1,
+        b3=jnp.asarray(rng.randn(64).astype(np.float32)) * 0.1,
+        gn_scale=jnp.asarray(rng.rand(64).astype(np.float32) + 0.5),
+        gn_bias=jnp.asarray(rng.randn(64).astype(np.float32) * 0.1),
+        w40=jnp.asarray(rng.randn(3, 3, 72, 32).astype(np.float32)) * 0.1,
+        b40=jnp.asarray(rng.randn(32).astype(np.float32) * 0.1),
+        w41=jnp.asarray(rng.randn(3, 3, 32, 16).astype(np.float32)) * 0.1,
+        b41=jnp.asarray(rng.randn(16).astype(np.float32) * 0.1),
+        w42=jnp.asarray(rng.randn(1, 1, 16, 7).astype(np.float32)) * 0.1,
+        b42=jnp.asarray(rng.randn(7).astype(np.float32) * 0.1),
+    )
+    want = np.asarray(_fba_tail(h4, skip2, ex1, p, force_fast=False))
+    got = np.asarray(_fba_tail(h4, skip2, ex1, p, force_fast=True))
+    assert got.shape == want.shape == (1, 64, 96, 7)
+    np.testing.assert_allclose(got, want, atol=2e-4)
