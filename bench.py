@@ -36,10 +36,13 @@ REFERENCE_FPS_ESTIMATE = 1.0
 
 
 def main():
+    import os
     from tcvom_tpu.models import registry
     from tcvom_tpu.models import full_model as FM
 
-    name = "vmn_fba"
+    # BENCH_MODEL selects the backbone (default: the flagship vmn_fba,
+    # which is what the driver records)
+    name = os.environ.get("BENCH_MODEL", "vmn_fba")
     cfg = FM.TaskConfig(model=name, agg_window=7)
     module = registry.build_model(name, agg_window=7)
 
@@ -97,7 +100,8 @@ def main():
     # each steady-state step yields one new 1080p matte
     fps = 1.0 / dt
     print(json.dumps({
-        "metric": "FBA+TAM 1080p inference frames/sec/chip",
+        "metric": f"{registry.method_of(name).upper()}+TAM 1080p "
+                  "inference frames/sec/chip",
         "value": round(fps, 4),
         "unit": "frames/sec",
         "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 4),

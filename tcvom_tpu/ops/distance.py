@@ -118,11 +118,13 @@ def trimap_transform(trimap2: jnp.ndarray, length: float = 320.0) -> jnp.ndarray
     Distances are truncated at 256px: the widest Gaussian (sigma = 51.2)
     underflows to ~7e-7 there, so every output channel is unchanged.
     """
+    # both channels in one batched EDT (halves the dispatch chain; the
+    # min-plus work vectorizes over the leading axis)
+    seeds = jnp.moveaxis(trimap2 >= 0.5, -1, 0)          # [2, ..., H, W]
+    d2 = edt_squared(seeds, truncate=256)
     outs = []
     for k in range(2):
-        tk = trimap2[..., k]
-        d2 = edt_squared(tk >= 0.5, truncate=256)
         for s in (0.02, 0.08, 0.16):
             sigma2 = 2.0 * (s * length) ** 2
-            outs.append(jnp.exp(-d2 / sigma2))
+            outs.append(jnp.exp(-d2[k] / sigma2))
     return jnp.stack(outs, axis=-1)

@@ -118,21 +118,37 @@ def compose_up_conv_kernel_t(w):
     return k.reshape(4, 4, 4 * i, 4 * o)
 
 
+# selection tensors for the scatter-style kernel transforms — one einsum
+# against a constant instead of hundreds of tiny dynamic-update-slice ops
+# (which execute as sequential micro-kernels and cost ~8 ms/call at trace
+# level). S2[t, r, a] = 1 iff tap a (= 1+dy) lands at kernel position t
+# for output phase r in a stride-2 packing; SR[s, q, r, a] likewise for a
+# packed-input/packed-output 3x3 conv.
+_S2 = np.zeros((4, 2, 3), np.float32)
+for _t in range(4):
+    for _r in (0, 1):
+        _d = _t - 1 - _r
+        if -1 <= _d <= 1:
+            _S2[_t, _r, 1 + _d] = 1.0
+_SR = np.zeros((3, 2, 2, 3), np.float32)
+for _s in (-1, 0, 1):
+    for _q in (0, 1):
+        for _r in (0, 1):
+            _d = 2 * _s + _q - _r
+            if -1 <= _d <= 1:
+                _SR[1 + _s, _q, _r, 1 + _d] = 1.0
+_S2_j = jnp.asarray(_S2)
+_SR_j = jnp.asarray(_SR)
+
+
 def stride2_conv_kernel(w):
     """[3,3,I,O] -> [4,4,I,4O]: a 3x3 conv whose output is block-packed
     over the half grid, taking the input at its native (full) resolution.
     Use with ``window_strides=(2,2), padding=[(1,1),(1,1)]``. Exact
     including borders (zero padding commutes)."""
     i, o = w.shape[2], w.shape[3]
-    k = jnp.zeros((4, 4, i, 2, 2, o), w.dtype)
-    for ry in (0, 1):
-        for rx in (0, 1):
-            for ty in range(4):
-                for tx in range(4):
-                    dy, dx = ty - 1 - ry, tx - 1 - rx
-                    if -1 <= dy <= 1 and -1 <= dx <= 1:
-                        k = k.at[ty, tx, :, ry, rx, :].set(
-                            w[1 + dy, 1 + dx])
+    s2 = _S2_j.astype(w.dtype)
+    k = jnp.einsum("abio,tra,usb->tuirso", w, s2, s2)
     return k.reshape(4, 4, i, 4 * o)
 
 
@@ -141,26 +157,16 @@ def rep_conv_kernel(w):
     block-packed over the half grid. Use with ``padding=[(1,1),(1,1)]``.
     Exact including borders."""
     i, o = w.shape[2], w.shape[3]
-    k = jnp.zeros((3, 3, 2, 2, i, 2, 2, o), w.dtype)
-    for ry in (0, 1):
-        for rx in (0, 1):
-            for qy in (0, 1):
-                for qx in (0, 1):
-                    for sy in (-1, 0, 1):
-                        for sx in (-1, 0, 1):
-                            dy, dx = 2 * sy + qy - ry, 2 * sx + qx - rx
-                            if -1 <= dy <= 1 and -1 <= dx <= 1:
-                                k = k.at[1 + sy, 1 + sx, qy, qx, :,
-                                         ry, rx, :].set(w[1 + dy, 1 + dx])
+    sr = _SR_j.astype(w.dtype)
+    k = jnp.einsum("abio,sqra,tnub->stqniruo", w, sr, sr)
     return k.reshape(3, 3, 4 * i, 4 * o)
 
 
 def rep_1x1_kernel(w):
     """[1,1,I,O] -> [1,1,4I,4O] block-diagonal over phases. Exact."""
     i, o = w.shape[2], w.shape[3]
-    k = jnp.zeros((1, 1, 4, i, 4, o), w.dtype)
-    for p in range(4):
-        k = k.at[0, 0, p, :, p, :].set(w[0, 0])
+    eye = jnp.eye(4, dtype=w.dtype)
+    k = jnp.einsum("io,pq->piqo", w[0, 0], eye)
     return k.reshape(1, 1, 4 * i, 4 * o)
 
 
