@@ -28,8 +28,8 @@ from tcvom_tpu.train.state import TrainState
 # eval() and keeps them out of the optimizer: VMN_DIM.py:102-108 etc.)
 _FROZEN_DECODER_PREFIXES = {
     "dim": ("dconv6", "dconv5", "dconv4"),
-    "gca": ("dec/layer1", "dec/layer2", "dec/gca"),
-    "fba": ("dec/ppm", "dec/up1_0", "dec/up1_1"),
+    "gca": ("layer1", "layer2", "gca"),
+    "fba": ("ppm", "up1_0", "up1_1"),
     "index": ("decoder_layer6", "decoder_layer5", "decoder_layer4"),
 }
 

@@ -140,6 +140,44 @@ def test_trainable_mask_freeze():
     assert all(v for v in [mask["encoder"]["conv"]["kernel"]])
 
 
+def test_trainable_mask_freeze_fba_gca():
+    """The fba/gca feature-extract decoder halves must leave the optimizer
+    under FREEZE_BACKBONE (reference vmn_fba_decoder.train /
+    ResGuidedCxtAtten_FAM_Dec.train set them to eval and the trainers keep
+    them out of the param list). Regression: the prefixes previously never
+    matched the real param paths, so weight decay kept moving them."""
+    from tcvom_tpu.train.trainer import trainable_mask
+    fba_params = {
+        "decoder": {"ppm": {"pool0_conv": {"kernel": 0}},
+                    "up1_0_conv": {"kernel": 0},
+                    "up1_1_bn": {"scale": 0},
+                    "up2_conv": {"kernel": 0},
+                    "up4_0": {"kernel": 0}},
+        "fam": {"key_conv": {"kernel": 0}},
+    }
+    mask = trainable_mask(fba_params, "vmn_fba", freeze_backbone=True)
+    assert mask["decoder"]["ppm"]["pool0_conv"]["kernel"] is False
+    assert mask["decoder"]["up1_0_conv"]["kernel"] is False
+    assert mask["decoder"]["up1_1_bn"]["scale"] is False
+    assert mask["decoder"]["up2_conv"]["kernel"] is True
+    assert mask["decoder"]["up4_0"]["kernel"] is True
+    assert mask["fam"]["key_conv"]["kernel"] is True
+
+    gca_params = {
+        "decoder": {"layer1_0": {"conv1": {"kernel_bar": 0}},
+                    "layer2_1": {"conv2": {"kernel_bar": 0}},
+                    "gca": {"W_conv": {"kernel": 0}},
+                    "layer3_0": {"conv1": {"kernel_bar": 0}},
+                    "conv2": {"kernel": 0}},
+    }
+    mask = trainable_mask(gca_params, "vmn_gca", freeze_backbone=True)
+    assert mask["decoder"]["layer1_0"]["conv1"]["kernel_bar"] is False
+    assert mask["decoder"]["layer2_1"]["conv2"]["kernel_bar"] is False
+    assert mask["decoder"]["gca"]["W_conv"]["kernel"] is False
+    assert mask["decoder"]["layer3_0"]["conv1"]["kernel_bar"] is True
+    assert mask["decoder"]["conv2"]["kernel"] is True
+
+
 def test_reference_yaml_compatibility():
     """The reference's unmodified cfgs/*.yaml files load (yacs-style
     tuple-string literal_eval included)."""
