@@ -10,10 +10,12 @@ attention is applied between ``extract`` and ``head``.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tcvom_tpu.models.layers import BatchNorm, Conv
+from tcvom_tpu.models.layers import BatchNorm, Conv, RawConvParams
+from tcvom_tpu.ops import subpixel as sp
 from tcvom_tpu.ops.image import max_pool_argmax_2x2, max_unpool_2x2
 
 
@@ -71,11 +73,44 @@ class DeepMatting(nn.Module):
         return self.decoder(self.encoder(x, train), train)
 
 
+def _dim_head_slow(x, idx3, idx2, idx1, p):
+    """Reference-shaped head: unpool -> 5x5 conv per level
+    (models/VMN/VMN_DIM.py:121-137)."""
+    h = nn.relu(sp.conv2d(max_unpool_2x2(x, idx3), p["w3"], padding=2) + p["b3"])
+    h = nn.relu(sp.conv2d(max_unpool_2x2(h, idx2), p["w2"], padding=2) + p["b2"])
+    h = nn.relu(sp.conv2d(max_unpool_2x2(h, idx1), p["w1"], padding=2) + p["b1"])
+    return jnp.clip(sp.conv2d(h, p["wa"], padding=2) + p["ba"], 0.0, 1.0)
+
+
+def _dim_head_fast(x, idx3, idx2, idx1, p):
+    """The same arithmetic block-packed (ops/subpixel.py): max-unpool is a
+    phase scatter (no interleave ever materializes) and each 5x5 conv runs
+    as a packed 3x3 conv with 4x the channels on the half grid. Exact
+    everywhere — unpool has no cross-pixel taps and packed-conv zero
+    padding commutes — so no border stitching is needed."""
+    h = sp.unpool_to_phases(x, idx3)                        # OS/8 grid, 4*256
+    h = nn.relu(sp.conv2d(h, sp.rep_conv5_kernel(p["w3"]), padding=1)
+                + sp.tile_bias(p["b3"]))
+    h = sp.d2s(h)                                           # OS/4, 128
+    h = sp.unpool_to_phases(h, idx2)
+    h = nn.relu(sp.conv2d(h, sp.rep_conv5_kernel(p["w2"]), padding=1)
+                + sp.tile_bias(p["b2"]))
+    h = sp.d2s(h)                                           # OS/2, 64
+    h = sp.unpool_to_phases(h, idx1)
+    h = nn.relu(sp.conv2d(h, sp.rep_conv5_kernel(p["w1"]), padding=1)
+                + sp.tile_bias(p["b1"]))
+    h = (sp.conv2d(h, sp.rep_conv5_kernel(p["wa"]), padding=1)
+         + sp.tile_bias(p["ba"]))
+    return jnp.clip(sp.d2s(h), 0.0, 1.0)                    # OS/1, 1
+
+
 class DIMDecoderVMN(nn.Module):
     """DIM decoder split at OS=8 for VMN (reference models/VMN/VMN_DIM.py:75).
 
     ``extract``: dconv6 -> unpool5/dconv5 -> unpool4/dconv4 -> [B, H/8, W/8, 256]
-    ``head``: FAM output -> unpool3..1 convs -> alpha.
+    ``head``: FAM output -> unpool3..1 convs -> alpha. On TPU the head runs
+    in the subpixel block-packed layout (identical values, wide-channel
+    convs, no unpool interleaves).
     """
     fam_channels: int = 256
 
@@ -88,7 +123,11 @@ class DIMDecoderVMN(nn.Module):
             h = nn.relu(Conv(256, 5, padding=2, name="dconv4")(max_unpool_2x2(h, idx4)))
             return h
         idx1, idx2, idx3, _, _ = enc["indices"]
-        h = nn.relu(Conv(128, 5, padding=2, name="dconv3")(max_unpool_2x2(x, idx3)))
-        h = nn.relu(Conv(64, 5, padding=2, name="dconv2")(max_unpool_2x2(h, idx2)))
-        h = nn.relu(Conv(64, 5, padding=2, name="dconv1")(max_unpool_2x2(h, idx1)))
-        return jnp.clip(Conv(1, 5, padding=2, name="alpha_pred")(h), 0.0, 1.0)
+        w3, b3 = RawConvParams(128, 256, (5, 5), name="dconv3")()
+        w2, b2 = RawConvParams(64, 128, (5, 5), name="dconv2")()
+        w1, b1 = RawConvParams(64, 64, (5, 5), name="dconv1")()
+        wa, ba = RawConvParams(1, 64, (5, 5), name="alpha_pred")()
+        p = dict(w3=w3, b3=b3, w2=w2, b2=b2, w1=w1, b1=b1, wa=wa, ba=ba)
+        head = (_dim_head_fast if jax.default_backend() == "tpu"
+                else _dim_head_slow)
+        return head(x, idx3, idx2, idx1, p)

@@ -12,7 +12,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tcvom_tpu.models.layers import BatchNorm, Conv
+from tcvom_tpu.models.layers import BatchNorm, Conv, RawConvParams
+from tcvom_tpu.ops import subpixel as sp
 from tcvom_tpu.ops.image import avg_pool, pixel_shuffle, resize_nearest
 
 
@@ -228,8 +229,121 @@ class IndexMatting(nn.Module):
         return self.decoder(self.encoder(x, train), train)
 
 
+class _RawConvBN(nn.Module):
+    """ConvBN with raw-parameter access and an optional block-packed eval
+    path (param/batch_stats layout identical to ConvBN: <name>/conv/kernel,
+    <name>/bn/{scale,bias} + batch_stats mean/var, flax BatchNorm
+    momentum-0.9 update semantics).
+
+    - ``__call__(x, train)``: reference-shaped conv + BN + relu6.
+    - ``__call__(packed=(x_packed, skip_packed), train=False)``: the same
+      5x5 conv with both operands block-packed over the half grid, as two
+      packed-3x3 convs summed; BN applies the running-stat affine tiled
+      over phases. Eval only (the fast path serves inference).
+    """
+    features: int
+    kernel: int = 5
+
+    @nn.compact
+    def __call__(self, x=None, train: bool = False, packed=None):
+        if packed is not None:
+            cin = sum(t.shape[-1] for t in packed if t is not None) // 4
+        else:
+            cin = x.shape[-1]
+        w, _ = RawConvParams(self.features, cin, (self.kernel, self.kernel),
+                             use_bias=False, name="conv")()
+        bn = _RawBN(self.features, name="bn")
+        if packed is None:
+            y = sp.conv2d(x, w, padding=self.kernel // 2)
+            return relu6(bn(y, train=train))
+        xp, skp = packed
+        c1 = xp.shape[-1] // 4
+        y = sp.conv2d(xp, sp.rep_conv5_kernel(w[:, :, :c1]), padding=1)
+        if skp is not None:
+            y = y + sp.conv2d(skp, sp.rep_conv5_kernel(w[:, :, c1:]),
+                              padding=1)
+        return relu6(bn(y, train=False, phases=4))
+
+
+class _RawBN(nn.Module):
+    """BatchNorm with flax-matching semantics and raw access; supports
+    applying the affine to phase-packed channels (eval)."""
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, y, train: bool = False, phases: int = 1):
+        f = self.features
+        scale = self.param("scale", nn.initializers.ones, (f,))
+        bias = self.param("bias", nn.initializers.zeros, (f,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((f,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((f,), jnp.float32))
+        if train:
+            assert phases == 1
+            axes = tuple(range(y.ndim - 1))
+            mean = jnp.mean(y, axes)
+            var = jnp.mean(jnp.square(y), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        add = bias - mean * inv
+        if phases > 1:
+            inv, add = jnp.tile(inv, phases), jnp.tile(add, phases)
+        return y * inv.astype(y.dtype) + add.astype(y.dtype)
+
+
+class _RawIndexedUp(nn.Module):
+    """IndexedUpsampling over a _RawConvBN('dconv') — same param paths as
+    IndexedUpsampling; adds the block-packed eval path: the idx-modulated
+    nearest 2x upsample is a phase broadcast times the packed index map
+    (no interleave materializes) and the 5x5 conv runs packed. Exact —
+    nearest upsample copies and packed-conv zero padding commutes."""
+    oup: int
+    kernel: int = 5
+
+    @nn.compact
+    def __call__(self, l_encode, l_low, indices=None, train: bool = False,
+                 packed: bool = False):
+        layer = _RawConvBN(self.oup, self.kernel, name="dconv")
+        if packed:
+            if indices is not None:
+                xp = jnp.tile(l_encode, (1, 1, 1, 4)) * sp.s2d(indices)
+            else:
+                xp = sp.s2d(l_encode)
+            return sp.d2s(layer(packed=(xp, sp.s2d(l_low))))
+        if indices is not None:
+            l_encode = indices * resize_nearest(l_encode, l_low.shape[-3:-1])
+        return layer(jnp.concatenate([l_encode, l_low], axis=-1), train=train)
+
+
+class _RawPred(nn.Module):
+    """_Pred over raw params (same paths: pred/p0/{conv,bn}, pred/p1)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, packed: bool = False):
+        p0 = _RawConvBN(1, 5, name="p0")
+        w1, _ = RawConvParams(1, 1, (5, 5), use_bias=False, name="p1")()
+        if packed:
+            h = p0(packed=(sp.s2d(x), None))
+            h = sp.conv2d(h, sp.rep_conv5_kernel(w1), padding=1)
+            return sp.d2s(h)
+        h = p0(x, train=train)
+        return sp.conv2d(h, w1, padding=2)
+
+
 class IndexMattingDecoderVMN(nn.Module):
-    """Split at OS=8 (after decoder_layer4, 32 ch) — reference VMN_Index.py."""
+    """Split at OS=8 (after decoder_layer4, 32 ch) — reference VMN_Index.py.
+
+    The head runs block-packed on TPU at eval (identical values; the
+    16-32 channel full-res convs otherwise waste the 128-lane axis)."""
     fam_channels: int = 32
 
     @nn.compact
@@ -239,8 +353,9 @@ class IndexMattingDecoderVMN(nn.Module):
             l = IndexedUpsampling(64, name="decoder_layer5")(l, enc["l5"], None, train)
             l = IndexedUpsampling(32, name="decoder_layer4")(l, enc["l4"], enc["idx4_de"], train)
             return l
-        l = IndexedUpsampling(24, name="decoder_layer3")(x, enc["l3"], enc["idx3_de"], train)
-        l = IndexedUpsampling(16, name="decoder_layer2")(l, enc["l2"], enc["idx2_de"], train)
-        l = IndexedUpsampling(32, name="decoder_layer1")(l, enc["l1"], None, train)
-        l = IndexedUpsampling(32, name="decoder_layer0")(l, enc["l0"], enc["idx0_de"], train)
-        return _Pred(name="pred")(l, train)
+        packed = jax.default_backend() == "tpu" and not train
+        l = _RawIndexedUp(24, name="decoder_layer3")(x, enc["l3"], enc["idx3_de"], train, packed)
+        l = _RawIndexedUp(16, name="decoder_layer2")(l, enc["l2"], enc["idx2_de"], train, packed)
+        l = _RawIndexedUp(32, name="decoder_layer1")(l, enc["l1"], None, train, packed)
+        l = _RawIndexedUp(32, name="decoder_layer0")(l, enc["l0"], enc["idx0_de"], train, packed)
+        return _RawPred(name="pred")(l, train, packed)

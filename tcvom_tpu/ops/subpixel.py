@@ -73,9 +73,44 @@ _A_j = jnp.asarray(_A)
 _G_j = jnp.asarray(_G)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_eye(c: int, dtype_name: str):
+    eye = np.zeros((2, 2, c, 4 * c), np.float32)
+    for py in (0, 1):
+        for px in (0, 1):
+            p = py * 2 + px
+            eye[py, px, np.arange(c), p * c + np.arange(c)] = 1.0
+    return jnp.asarray(eye, jnp.dtype(dtype_name))
+
+
+@functools.lru_cache(maxsize=None)
+def _d2s_eye(c: int, dtype_name: str):
+    # transposed-conv form: kernel position is spatially flipped
+    eye = np.zeros((2, 2, 4 * c, c), np.float32)
+    for py in (0, 1):
+        for px in (0, 1):
+            p = py * 2 + px
+            eye[1 - py, 1 - px, p * c + np.arange(c), np.arange(c)] = 1.0
+    return jnp.asarray(eye, jnp.dtype(dtype_name))
+
+
+def _conv_layout_ok(x):
+    """Identity-conv re-layout: free on TPU (a reshape-transpose relayout
+    costs ~3 ms on a 128 MB tensor; the MXU identity conv is ~0). Only for
+    bf16 — a TPU conv pass would round f32 values to bf16."""
+    return x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+
+
 def s2d(x):
     """[N, H, W, C] -> [N, H/2, W/2, 4C], channel (py*2+px)*C + c."""
     n, h, w, c = x.shape
+    if _conv_layout_ok(x):
+        return lax.conv_general_dilated(
+            x, _s2d_eye(c, x.dtype.name), (2, 2), [(0, 0), (0, 0)],
+            dimension_numbers=_DN)
     x = x.reshape(n, h // 2, 2, w // 2, 2, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(n, h // 2, w // 2, 4 * c)
@@ -85,6 +120,10 @@ def d2s(x):
     """[N, H, W, 4C] -> [N, 2H, 2W, C], inverse of :func:`s2d`."""
     n, h, w, c4 = x.shape
     c = c4 // 4
+    if _conv_layout_ok(x):
+        return lax.conv_general_dilated(
+            x, _d2s_eye(c, x.dtype.name), (1, 1), [(1, 1), (1, 1)],
+            lhs_dilation=(2, 2), dimension_numbers=_DN)
     x = x.reshape(n, h, w, 2, 2, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(n, 2 * h, 2 * w, c)
@@ -137,8 +176,18 @@ for _s in (-1, 0, 1):
             _d = 2 * _s + _q - _r
             if -1 <= _d <= 1:
                 _SR[1 + _s, _q, _r, 1 + _d] = 1.0
+# same for a 5x5 conv: dy = 2s + q - r in [-2, 2] still fits in a 3x3
+# packed kernel (DIM's 5x5 decoder convs)
+_SR5 = np.zeros((3, 2, 2, 5), np.float32)
+for _s in (-1, 0, 1):
+    for _q in (0, 1):
+        for _r in (0, 1):
+            _d = 2 * _s + _q - _r
+            if -2 <= _d <= 2:
+                _SR5[1 + _s, _q, _r, 2 + _d] = 1.0
 _S2_j = jnp.asarray(_S2)
 _SR_j = jnp.asarray(_SR)
+_SR5_j = jnp.asarray(_SR5)
 
 
 def stride2_conv_kernel(w):
@@ -160,6 +209,28 @@ def rep_conv_kernel(w):
     sr = _SR_j.astype(w.dtype)
     k = jnp.einsum("abio,sqra,tnub->stqniruo", w, sr, sr)
     return k.reshape(3, 3, 4 * i, 4 * o)
+
+
+def rep_conv5_kernel(w):
+    """[5,5,I,O] -> [3,3,4I,4O]: 5x5 conv with both input and output
+    block-packed over the half grid — the +-2 taps still land within one
+    neighboring cell, so a 3x3 packed kernel covers them. Exact including
+    borders. (DIM's 5x5 decoder convs, reference models/DIM/vggnet.py.)"""
+    i, o = w.shape[2], w.shape[3]
+    sr = _SR5_j.astype(w.dtype)
+    k = jnp.einsum("abio,sqra,tnub->stqniruo", w, sr, sr)
+    return k.reshape(3, 3, 4 * i, 4 * o)
+
+
+def unpool_to_phases(x, idx):
+    """MaxUnpool2x2 in block-packed form: scatter each value into its
+    recorded in-window phase — [N,h,w,C] + per-channel idx [N,h,w,C] in
+    [0,4) -> [N,h,w,4C] over the same grid (the unpacked result would be
+    the [2h,2w,C] torch MaxUnpool output; here the interleave never
+    happens). Exact — unpool has no cross-pixel taps."""
+    onehot = jax.nn.one_hot(idx, 4, dtype=x.dtype, axis=-2)   # [N,h,w,4,C]
+    out = onehot * x[..., None, :]
+    return out.reshape(x.shape[:-1] + (4 * x.shape[-1],))
 
 
 def rep_1x1_kernel(w):

@@ -122,3 +122,61 @@ def test_fba_tail_fast_matches_slow_with_stitching(rng):
     got = np.asarray(_fba_tail(h4, skip2, ex1, p, force_fast=True))
     assert got.shape == want.shape == (1, 64, 96, 7)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_dim_head_fast_matches_slow(rng):
+    """DIM's block-packed head (phase-scatter unpool + packed 5x5 convs)
+    must match the reference-shaped head exactly — borders included, no
+    stitching exists on this path."""
+    from tcvom_tpu.models.dim import _dim_head_fast, _dim_head_slow
+    from tcvom_tpu.ops.image import max_pool_argmax_2x2
+
+    # realistic per-channel unpool indices from actual poolings
+    def idx_for(h, w, c):
+        t = jnp.asarray(rng.randn(1, 2 * h, 2 * w, c).astype(np.float32))
+        return max_pool_argmax_2x2(t)[1]
+
+    h8, w8 = 8, 12
+    x = jnp.asarray(rng.randn(1, h8, w8, 256).astype(np.float32))
+    idx3 = idx_for(h8, w8, 256)
+    idx2 = idx_for(2 * h8, 2 * w8, 128)
+    idx1 = idx_for(4 * h8, 4 * w8, 64)
+    p = dict(
+        w3=jnp.asarray(rng.randn(5, 5, 256, 128).astype(np.float32)) * 0.05,
+        b3=jnp.asarray(rng.randn(128).astype(np.float32) * 0.1),
+        w2=jnp.asarray(rng.randn(5, 5, 128, 64).astype(np.float32)) * 0.05,
+        b2=jnp.asarray(rng.randn(64).astype(np.float32) * 0.1),
+        w1=jnp.asarray(rng.randn(5, 5, 64, 64).astype(np.float32)) * 0.05,
+        b1=jnp.asarray(rng.randn(64).astype(np.float32) * 0.1),
+        wa=jnp.asarray(rng.randn(5, 5, 64, 1).astype(np.float32)) * 0.05,
+        ba=jnp.asarray(rng.randn(1).astype(np.float32) * 0.1),
+    )
+    want = np.asarray(_dim_head_slow(x, idx3, idx2, idx1, p))
+    got = np.asarray(_dim_head_fast(x, idx3, idx2, idx1, p))
+    assert got.shape == want.shape == (1, 8 * h8, 8 * w8, 1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_index_head_packed_matches_direct(rng, monkeypatch):
+    """vmn_index head: the block-packed eval path (phase-broadcast nearest
+    upsample + packed 5x5 convs + tiled BN affine) must match the
+    reference-shaped path exactly, borders included."""
+    from tcvom_tpu.models import registry
+
+    module = registry.build_model("vmn_index", agg_window=3)
+    h = w = 64
+    x = jnp.asarray(rng.randn(1, 3, h, w, 4).astype(np.float32))
+    masks = jnp.asarray((rng.rand(1, 3, h, w, 1) > 0.4).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    variables = module.init({"params": key, "dropout": key}, x, masks,
+                            train=False)
+    # randomize BN running stats so the affine actually matters
+    bs = jax.tree.map(
+        lambda a: jnp.asarray(rng.rand(*a.shape).astype(np.float32) + 0.5),
+        variables.get("batch_stats", {}))
+    variables = {**variables, "batch_stats": bs}
+
+    want = np.asarray(module.apply(variables, x, masks, train=False)[0])
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = np.asarray(module.apply(variables, x, masks, train=False)[0])
+    np.testing.assert_allclose(got, want, atol=1e-5)
