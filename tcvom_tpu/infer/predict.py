@@ -160,6 +160,9 @@ class StreamingPredictor:
         :meth:`flush` emits the last frame's matte with [fN-2, fN-1, fN-2].
         The matte returned by the i-th call (i >= 1) is for frame i-1.
         """
+        # NB: encode and decode stay two jit calls — a fused single-call
+        # variant measured 12.9 vs 15.4 fps (XLA schedules the combined
+        # graph with higher peak memory and worse overlap)
         frame = self._encode(self.variables, jnp.asarray(img), jnp.asarray(tri))
         if state is None:
             return ("first", frame), None

@@ -53,7 +53,16 @@ class FBAEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         conv_out = [x]                                    # OS=1 (raw input)
-        h = WSConv(64, 7, strides=2, padding=3, use_bias=False, name="conv1")(x)
+        w1, _ = RawConvParams(64, self.input_chn, (7, 7), use_bias=False,
+                              kernel_init=nn.initializers.he_normal(),
+                              name="conv1")()
+        if x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
+            # stem on the block-packed input: 44 channels on the half grid
+            # instead of 11 at full res (s2d is an identity conv here)
+            h = sp.conv2d(sp.s2d(x), sp.stem7_s2_packed_kernel(
+                ws_standardize(w1)), padding=[(2, 1), (2, 1)])
+        else:
+            h = sp.conv2d(x, ws_standardize(w1), stride=2, padding=3)
         h = nn.relu(GroupNorm32(name="bn1")(h))
         conv_out.append(h)                                # OS=2
         h = max_pool(h, 3, 2, 1)                          # indices unused by decoder

@@ -76,25 +76,27 @@ _G_j = jnp.asarray(_G)
 import functools
 
 
+# NB: cache numpy (not jnp) — a jnp constant created inside a trace would
+# be a tracer and leak across jit scopes through the cache
 @functools.lru_cache(maxsize=None)
-def _s2d_eye(c: int, dtype_name: str):
+def _s2d_eye_np(c: int):
     eye = np.zeros((2, 2, c, 4 * c), np.float32)
     for py in (0, 1):
         for px in (0, 1):
             p = py * 2 + px
             eye[py, px, np.arange(c), p * c + np.arange(c)] = 1.0
-    return jnp.asarray(eye, jnp.dtype(dtype_name))
+    return eye
 
 
 @functools.lru_cache(maxsize=None)
-def _d2s_eye(c: int, dtype_name: str):
+def _d2s_eye_np(c: int):
     # transposed-conv form: kernel position is spatially flipped
     eye = np.zeros((2, 2, 4 * c, c), np.float32)
     for py in (0, 1):
         for px in (0, 1):
             p = py * 2 + px
             eye[1 - py, 1 - px, p * c + np.arange(c), np.arange(c)] = 1.0
-    return jnp.asarray(eye, jnp.dtype(dtype_name))
+    return eye
 
 
 def _conv_layout_ok(x):
@@ -109,8 +111,8 @@ def s2d(x):
     n, h, w, c = x.shape
     if _conv_layout_ok(x):
         return lax.conv_general_dilated(
-            x, _s2d_eye(c, x.dtype.name), (2, 2), [(0, 0), (0, 0)],
-            dimension_numbers=_DN)
+            x, jnp.asarray(_s2d_eye_np(c), x.dtype), (2, 2),
+            [(0, 0), (0, 0)], dimension_numbers=_DN)
     x = x.reshape(n, h // 2, 2, w // 2, 2, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(n, h // 2, w // 2, 4 * c)
@@ -122,7 +124,7 @@ def d2s(x):
     c = c4 // 4
     if _conv_layout_ok(x):
         return lax.conv_general_dilated(
-            x, _d2s_eye(c, x.dtype.name), (1, 1), [(1, 1), (1, 1)],
+            x, jnp.asarray(_d2s_eye_np(c), x.dtype), (1, 1), [(1, 1), (1, 1)],
             lhs_dilation=(2, 2), dimension_numbers=_DN)
     x = x.reshape(n, h, w, 2, 2, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)
@@ -231,6 +233,31 @@ def unpool_to_phases(x, idx):
     onehot = jax.nn.one_hot(idx, 4, dtype=x.dtype, axis=-2)   # [N,h,w,4,C]
     out = onehot * x[..., None, :]
     return out.reshape(x.shape[:-1] + (4 * x.shape[-1],))
+
+
+# stem selection: S7[s, q, t] = 1 iff 7-kernel tap t feeds packed-input
+# kernel position s for input phase q in a stride-2 conv consuming a
+# block-packed input (t = 2(s-2) + q + 3)
+_S7 = np.zeros((4, 2, 7), np.float32)
+for _s in range(4):
+    for _q in (0, 1):
+        _t = 2 * (_s - 2) + _q + 3
+        if 0 <= _t <= 6:
+            _S7[_s, _q, _t] = 1.0
+_S7_j = jnp.asarray(_S7)
+
+
+def stem7_s2_packed_kernel(w):
+    """[7,7,I,O] -> [4,4,4I,O]: a 7x7 stride-2 conv re-expressed on the
+    block-packed input (4I channels on the half grid, stride 1). Use with
+    ``padding=[(2,1),(2,1)]``. Exact including borders (the original
+    pad-3 zeros map onto the packed zero padding). The TPU-shaped form of
+    a small-channel stem (FBA's 11-channel conv1 measured 3.4 -> 1.75 ms
+    at 1080p)."""
+    i, o = w.shape[2], w.shape[3]
+    s7 = _S7_j.astype(w.dtype)
+    k = jnp.einsum("abco,sqa,tnb->stqnco", w, s7, s7)
+    return k.reshape(4, 4, 4 * i, o)
 
 
 def rep_1x1_kernel(w):

@@ -180,3 +180,15 @@ def test_index_head_packed_matches_direct(rng, monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     got = np.asarray(module.apply(variables, x, masks, train=False)[0])
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_stem7_s2_packed_kernel_exact(rng):
+    """7x7 stride-2 stem over a packed input must equal the direct conv
+    exactly, borders included (zero pads map onto packed zero pads)."""
+    x = jnp.asarray(rng.randn(1, 24, 32, 11).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 11, 16).astype(np.float32))
+    want = np.asarray(sp.conv2d(x, w, stride=2, padding=3))
+    got = np.asarray(sp.conv2d(sp.s2d(x), sp.stem7_s2_packed_kernel(w),
+                               padding=[(2, 1), (2, 1)]))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-5)
