@@ -18,7 +18,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from tcvom_tpu.models.layers import BatchNorm, Conv, SNConv
+from tcvom_tpu.models.layers import (BatchNorm, Conv, RawBatchNorm,
+                                     RawConvParams, SNConv, SNConvRaw)
+from tcvom_tpu.ops import subpixel as sp
 from tcvom_tpu.ops.gca_attention import guided_attention_core
 from tcvom_tpu.ops.image import avg_pool, reflection_pad, resize_nearest
 
@@ -104,16 +106,31 @@ class DecBasicBlock(nn.Module):
 
 
 class _Shortcut(nn.Module):
-    """SN conv -> relu -> BN, twice (reference res_gca_enc.py:47-55)."""
+    """SN conv -> relu -> BN, twice (reference res_gca_enc.py:47-55).
+
+    On TPU at eval the two convs run block-packed (the full-resolution
+    shortcut heads have 32-64 channels — heavy lane waste otherwise);
+    identical values, exact including borders."""
     planes: int
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = SNConv(self.planes, 3, padding=1, name="conv1")(x, train)
-        x = BatchNorm(name="bn1")(nn.relu(x), use_running_average=not train)
-        x = SNConv(self.planes, 3, padding=1, name="conv2")(x, train)
-        x = BatchNorm(name="bn2")(nn.relu(x), use_running_average=not train)
-        return x
+        c1 = SNConvRaw(self.planes, x.shape[-1], name="conv1")
+        b1 = RawBatchNorm(self.planes, name="bn1")
+        c2 = SNConvRaw(self.planes, self.planes, name="conv2")
+        b2 = RawBatchNorm(self.planes, name="bn2")
+        fast = (jax.default_backend() == "tpu" and not train
+                and x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0)
+        if not fast:
+            h = b1(nn.relu(c1(x, train=train)), train=train)
+            return b2(nn.relu(c2(h, train=train)), train=train)
+        w1, _ = c1(kernel_only=True)
+        w2, _ = c2(kernel_only=True)
+        h = sp.conv2d(sp.s2d(x), sp.rep_conv_kernel(w1), padding=1)
+        h = b1(nn.relu(h), train=False, phases=4)
+        h = sp.conv2d(h, sp.rep_conv_kernel(w2), padding=1)
+        h = b2(nn.relu(h), train=False, phases=4)
+        return sp.d2s(h)
 
 
 class GCAEncoder(nn.Module):
@@ -123,14 +140,38 @@ class GCAEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # conv1 zero-inits its trimap input channels
-        out = SNConv(32, 3, strides=2, padding=1, name="conv1",
-                     kernel_init=_zero_trimap_init)(x, train)
-        out = nn.relu(BatchNorm(name="bn1")(out, use_running_average=not train))
-        out = SNConv(32, 3, strides=1, padding=1, name="conv2")(out, train)
-        x1 = nn.relu(BatchNorm(name="bn2")(out, use_running_average=not train))          # H/2, 32
-        out = SNConv(64, 3, strides=2, padding=1, name="conv3")(x1, train)
-        out = nn.relu(BatchNorm(name="bn3")(out, use_running_average=not train))          # H/4, 64
+        # conv1 zero-inits its trimap input channels. On TPU at eval the
+        # 6/32-channel full- and half-resolution stem runs block-packed
+        # (exact, incl. borders): conv1 keeps the output packed over OS=4,
+        # conv2 stays packed, conv3 unpacks while striding to OS=4.
+        c1 = SNConvRaw(32, x.shape[-1], strides=2, name="conv1",
+                       kernel_init=_zero_trimap_init)
+        b1 = RawBatchNorm(32, name="bn1")
+        c2 = SNConvRaw(32, 32, name="conv2")
+        b2 = RawBatchNorm(32, name="bn2")
+        c3 = SNConvRaw(64, 32, strides=2, name="conv3")
+        b3 = RawBatchNorm(64, name="bn3")
+        fast = jax.default_backend() == "tpu" and not train
+        if fast:
+            w1, _ = c1(kernel_only=True)
+            w2, _ = c2(kernel_only=True)
+            w3, _ = c3(kernel_only=True)
+            h = sp.conv2d(sp.s2d(x), sp.s2_packed_out_kernel3(w1),
+                          stride=2, padding=1)             # OS=2 packed
+            h = nn.relu(b1(h, train=False, phases=4))
+            h = sp.conv2d(h, sp.rep_conv_kernel(w2), padding=1)
+            x1p = nn.relu(b2(h, train=False, phases=4))
+            out = sp.conv2d(x1p, sp.s2_from_packed_kernel3(w3),
+                            padding=[(1, 0), (1, 0)])      # OS=4 natural
+            out = nn.relu(b3(out, train=False))
+            x1 = sp.d2s(x1p)                               # H/2, 32
+        else:
+            out = c1(x, train=train)
+            out = nn.relu(b1(out, train=train))
+            out = c2(out, train=train)
+            x1 = nn.relu(b2(out, train=train))             # H/2, 32
+            out = c3(x1, train=train)
+            out = nn.relu(b3(out, train=train))            # H/4, 64
 
         # guidance head on RGB: 3 reflect-pad SN convs stride 2 (relu, BN)
         g = x[..., :3]
@@ -194,10 +235,27 @@ class GCADecoder(nn.Module):
             x = h
         h = run_layer(x, 64, self.layers[2], "layer3") + fea3
         h = run_layer(h, 32, self.layers[3], "layer4") + fea2
-        h = SNConv(32, 4, strides=2, padding=1, transpose=True, name="conv1")(h, train)
-        h = BatchNorm(name="bn1")(h, use_running_average=not train)
-        h = nn.leaky_relu(h, 0.2) + fea1
-        h = Conv(1, 3, padding=1, name="conv2")(h)
+        c1 = SNConvRaw(32, h.shape[-1], kernel_size=(4, 4), strides=2,
+                       transpose=True, name="conv1")
+        b1 = RawBatchNorm(32, name="bn1")
+        w2, bias2 = RawConvParams(1, 32, name="conv2")()
+        fast = (jax.default_backend() == "tpu" and not train
+                and h.shape[-3] % 2 == 0 and h.shape[-2] % 2 == 0)
+        if fast:
+            # full-res 32-channel tail block-packed (exact): the SN
+            # transposed conv becomes a 3x3 conv with packed output
+            w1, _ = c1(kernel_only=True)
+            hp = sp.conv2d(h, sp.convT4_packed_out_kernel(w1), padding=1)
+            hp = b1(hp, train=False, phases=4)
+            hp = nn.leaky_relu(hp, 0.2) + sp.s2d(fea1)
+            hp = (sp.conv2d(hp, sp.rep_conv_kernel(w2), padding=1)
+                  + sp.tile_bias(bias2))
+            h = sp.d2s(hp)
+        else:
+            h = c1(h, train=train)
+            h = b1(h, train=train)
+            h = nn.leaky_relu(h, 0.2) + fea1
+            h = sp.conv2d(h, w2, padding=1) + bias2
         return (jnp.tanh(h) + 1.0) / 2.0
 
 

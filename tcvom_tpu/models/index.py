@@ -265,39 +265,8 @@ class _RawConvBN(nn.Module):
         return relu6(bn(y, train=False, phases=4))
 
 
-class _RawBN(nn.Module):
-    """BatchNorm with flax-matching semantics and raw access; supports
-    applying the affine to phase-packed channels (eval)."""
-    features: int
-    momentum: float = 0.9
-    epsilon: float = 1e-5
-
-    @nn.compact
-    def __call__(self, y, train: bool = False, phases: int = 1):
-        f = self.features
-        scale = self.param("scale", nn.initializers.ones, (f,))
-        bias = self.param("bias", nn.initializers.zeros, (f,))
-        ra_mean = self.variable("batch_stats", "mean",
-                                lambda: jnp.zeros((f,), jnp.float32))
-        ra_var = self.variable("batch_stats", "var",
-                               lambda: jnp.ones((f,), jnp.float32))
-        if train:
-            assert phases == 1
-            axes = tuple(range(y.ndim - 1))
-            mean = jnp.mean(y, axes)
-            var = jnp.mean(jnp.square(y), axes) - jnp.square(mean)
-            if not self.is_initializing():
-                ra_mean.value = (self.momentum * ra_mean.value
-                                 + (1 - self.momentum) * mean)
-                ra_var.value = (self.momentum * ra_var.value
-                                + (1 - self.momentum) * var)
-        else:
-            mean, var = ra_mean.value, ra_var.value
-        inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        add = bias - mean * inv
-        if phases > 1:
-            inv, add = jnp.tile(inv, phases), jnp.tile(add, phases)
-        return y * inv.astype(y.dtype) + add.astype(y.dtype)
+# _RawBN moved to layers.RawBatchNorm (shared with the GCA packed paths)
+from tcvom_tpu.models.layers import RawBatchNorm as _RawBN
 
 
 class _RawIndexedUp(nn.Module):

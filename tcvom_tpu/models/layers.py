@@ -80,6 +80,107 @@ class RawConvParams(nn.Module):
         return kernel, bias
 
 
+class RawBatchNorm(nn.Module):
+    """BatchNorm with flax-matching semantics and raw access; supports
+    applying the affine to phase-packed channels (eval). Param layout
+    matches nn.BatchNorm ({scale, bias} + batch_stats {mean, var})."""
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, y, train: bool = False, phases: int = 1):
+        f = self.features
+        scale = self.param("scale", nn.initializers.ones, (f,))
+        bias = self.param("bias", nn.initializers.zeros, (f,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((f,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((f,), jnp.float32))
+        if train:
+            assert phases == 1
+            axes = tuple(range(y.ndim - 1))
+            mean = jnp.mean(y, axes)
+            var = jnp.mean(jnp.square(y), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        add = bias - mean * inv
+        if phases > 1:
+            inv, add = jnp.tile(inv, phases), jnp.tile(add, phases)
+        return y * inv.astype(y.dtype) + add.astype(y.dtype)
+
+
+class SNConvRaw(nn.Module):
+    """SNConv with raw kernel access (param/spectral layout identical to
+    SNConv: {kernel_bar, bias} + spectral {u, v}); ``kernel_only=True``
+    returns the spectrally-normalized kernel (+bias) for weight-transformed
+    packed paths instead of applying the conv."""
+    features: int
+    in_features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: int = 1
+    padding: int = 1
+    use_bias: bool = False
+    transpose: bool = False
+    kernel_init: Callable = nn.initializers.xavier_uniform()
+
+    @nn.compact
+    def __call__(self, x=None, train: bool = False, update_sn=None,
+                 kernel_only: bool = False):
+        ks = self.kernel_size
+        kernel = self.param("kernel_bar", self.kernel_init,
+                            (*ks, self.in_features, self.features))
+        if self.transpose:
+            height = self.in_features
+            wmat = jnp.transpose(kernel, (2, 3, 0, 1)).reshape(height, -1)
+        else:
+            height = self.features
+            wmat = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(height, -1)
+
+        u = self.variable("spectral", "u",
+                          lambda: _l2n(jax.random.normal(
+                              self.make_rng("params") if
+                              self.is_initializing() else
+                              jax.random.PRNGKey(0), (height,))))
+        v = self.variable("spectral", "v",
+                          lambda: _l2n(jax.random.normal(jax.random.fold_in(
+                              self.make_rng("params"), 1) if
+                              self.is_initializing() else
+                              jax.random.PRNGKey(1), (wmat.shape[1],))))
+        do_update = train if update_sn is None else update_sn
+        if do_update and not self.is_initializing():
+            wd = jax.lax.stop_gradient(wmat)
+            v_new = _l2n(wd.T @ u.value)
+            u_new = _l2n(wd @ v_new)
+            u.value = u_new
+            v.value = v_new
+        uu = jax.lax.stop_gradient(u.value)
+        vv = jax.lax.stop_gradient(v.value)
+        sigma = uu @ (wmat @ vv)
+        w = kernel / sigma
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        if kernel_only:
+            return w, bias
+        if self.transpose:
+            y = conv_transpose_torch(x, w, self.strides, self.padding)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w.astype(x.dtype),
+                window_strides=(self.strides, self.strides),
+                padding=[(self.padding, self.padding)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 class RawNormParams(nn.Module):
     """Norm-parameter container (<name>/{scale, bias}); returns them."""
     features: int

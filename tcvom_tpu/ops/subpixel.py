@@ -235,6 +235,72 @@ def unpool_to_phases(x, idx):
     return out.reshape(x.shape[:-1] + (4 * x.shape[-1],))
 
 
+# 3x3 stride-2 conv consuming a block-packed input, natural output:
+# tap t = 2(s-1) + q + 1 for packed kernel position s in {0,1}
+_S3P = np.zeros((2, 2, 3), np.float32)
+for _s in (0, 1):
+    for _q in (0, 1):
+        _t = 2 * (_s - 1) + _q + 1
+        if 0 <= _t <= 2:
+            _S3P[_s, _q, _t] = 1.0
+_S3P_j = jnp.asarray(_S3P)
+
+# 3x3 stride-2 conv consuming a block-packed input AND producing a
+# block-packed output (stride 2 over packed cells):
+# tap d = 2s + q - 2r + 1 for packed kernel position 1+s, s in {-1..2}
+_S3PP = np.zeros((4, 2, 2, 3), np.float32)
+for _s in (-1, 0, 1, 2):
+    for _q in (0, 1):
+        for _r in (0, 1):
+            _d = 2 * _s + _q - 2 * _r + 1
+            if 0 <= _d <= 2:
+                _S3PP[1 + _s, _q, _r, _d] = 1.0
+_S3PP_j = jnp.asarray(_S3PP)
+
+# torch ConvTranspose2d(k=4, s=2, p=1) producing a block-packed output:
+# out[2i+r] = sum_a K[(2i+r) - 2a + 1] x[a] (kernel tap index in [0,4));
+# with s = a - i in {-1, 0, 1}: tap = r - 2s + 1
+_T4P = np.zeros((3, 2, 4), np.float32)
+for _s in (-1, 0, 1):
+    for _r in (0, 1):
+        _t = _r - 2 * _s + 1
+        if 0 <= _t <= 3:
+            _T4P[1 + _s, _r, _t] = 1.0
+_T4P_j = jnp.asarray(_T4P)
+
+
+def s2_from_packed_kernel3(w):
+    """[3,3,I,O] -> [2,2,4I,O]: a 3x3 stride-2 conv whose input is
+    block-packed over the half grid; output at the natural (half) grid.
+    Use with ``padding=[(1,0),(1,0)]``. Exact including borders."""
+    i, o = w.shape[2], w.shape[3]
+    s = _S3P_j.astype(w.dtype)
+    k = jnp.einsum("abio,sqa,tnb->stqnio", w, s, s)
+    return k.reshape(2, 2, 4 * i, o)
+
+
+def s2_packed_out_kernel3(w):
+    """[3,3,I,O] -> [4,4,4I,4O]: a 3x3 stride-2 conv with block-packed
+    input AND block-packed output (i.e. OS doubles while staying on the
+    same packed grid). Use with ``window_strides=(2,2),
+    padding=[(1,1),(1,1)]``. Exact including borders."""
+    i, o = w.shape[2], w.shape[3]
+    s = _S3PP_j.astype(w.dtype)
+    k = jnp.einsum("abio,sqra,tnub->stqniruo", w, s, s)
+    return k.reshape(4, 4, 4 * i, 4 * o)
+
+
+def convT4_packed_out_kernel(w):
+    """[4,4,I,O] (torch ConvTranspose2d(4,2,1) HWIO layout) ->
+    [3,3,I,4O]: the transposed conv as a plain 3x3 conv on the input grid
+    with block-packed output. Use with ``padding=[(1,1),(1,1)]``. Exact
+    including borders (out-of-range input taps are zero on both sides)."""
+    i, o = w.shape[2], w.shape[3]
+    t = _T4P_j.astype(w.dtype)
+    k = jnp.einsum("abio,sra,unb->suirno", w, t, t)
+    return k.reshape(3, 3, i, 4 * o)
+
+
 # stem selection: S7[s, q, t] = 1 iff 7-kernel tap t feeds packed-input
 # kernel position s for input phase q in a stride-2 conv consuming a
 # block-packed input (t = 2(s-2) + q + 3)

@@ -192,3 +192,66 @@ def test_stem7_s2_packed_kernel_exact(rng):
                                padding=[(2, 1), (2, 1)]))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_s2_from_packed_kernel3_exact(rng):
+    """3x3 stride-2 conv over a packed input == direct conv, borders incl."""
+    x = jnp.asarray(rng.randn(1, 24, 32, 6).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 6, 8).astype(np.float32))
+    want = np.asarray(sp.conv2d(x, w, stride=2, padding=1))
+    got = np.asarray(sp.conv2d(sp.s2d(x), sp.s2_from_packed_kernel3(w),
+                               padding=[(1, 0), (1, 0)]))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_s2_packed_out_kernel3_exact(rng):
+    """3x3 stride-2 conv, packed input AND packed output."""
+    x = jnp.asarray(rng.randn(1, 24, 32, 6).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 6, 8).astype(np.float32))
+    want = np.asarray(sp.s2d(sp.conv2d(x, w, stride=2, padding=1)))
+    got = np.asarray(sp.conv2d(sp.s2d(x), sp.s2_packed_out_kernel3(w),
+                               stride=2, padding=1))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_convT4_packed_out_kernel_exact(rng):
+    """ConvTranspose2d(4,2,1) as a 3x3 conv with packed output."""
+    from tcvom_tpu.models.layers import conv_transpose_torch
+    x = jnp.asarray(rng.randn(1, 12, 16, 6).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 4, 6, 8).astype(np.float32))
+    want = np.asarray(sp.s2d(conv_transpose_torch(x, w, 2, 1)))
+    got = np.asarray(sp.conv2d(x, sp.convT4_packed_out_kernel(w), padding=1))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_gca_packed_paths_match_direct(rng, monkeypatch):
+    """vmn_gca: the block-packed stem, shortcut heads and decoder tail
+    must match the reference-shaped paths exactly (eval)."""
+    from tcvom_tpu.models import registry
+
+    module = registry.build_model("vmn_gca", agg_window=3)
+    h = w = 64
+    x_np = rng.randn(1, 3, h, w, 6).astype(np.float32)
+    tri = np.zeros((1, 3, 3, h, w), np.float32)
+    tri[:, :, 1, h // 4: h // 2, w // 4: 3 * w // 4] = 1
+    tri[:, :, 2, h // 2:, :] = 1
+    tri[:, :, 0] = 1 - tri[:, :, 1] - tri[:, :, 2]
+    x_np[..., 3:] = np.moveaxis(tri, 2, -1)
+    x = jnp.asarray(x_np)
+    masks = jnp.asarray(np.moveaxis(tri[:, :, 1:2], 2, -1))
+    key = jax.random.PRNGKey(0)
+    variables = module.init({"params": key, "dropout": key}, x, masks,
+                            train=False)
+    bs = jax.tree.map(
+        lambda a: jnp.asarray(rng.rand(*a.shape).astype(np.float32) + 0.5),
+        variables.get("batch_stats", {}))
+    variables = {**variables, "batch_stats": bs}
+
+    want = np.asarray(module.apply(variables, x, masks, train=False)[0])
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # keep FAM on the XLA formulation (the Pallas kernel can't run on the
+    # CPU backend this test executes on)
+    from tcvom_tpu.ops import fam_pallas
+    monkeypatch.setattr(fam_pallas, "_choose_impl", lambda *a: "xla")
+    got = np.asarray(module.apply(variables, x, masks, train=False)[0])
+    np.testing.assert_allclose(got, want, atol=2e-5)
