@@ -119,9 +119,12 @@ def trimap_transform(trimap2: jnp.ndarray, length: float = 320.0) -> jnp.ndarray
     underflows to ~7e-7 there, so every output channel is unchanged.
     """
     # both channels in one batched EDT (halves the dispatch chain; the
-    # min-plus work vectorizes over the leading axis)
+    # min-plus work vectorizes over the leading axis). chunk == truncate
+    # minimizes the neighbor-offset count (3 instead of 5): measured
+    # 5.7 -> 1.8 ms for the 1080p pair on v5e, still exact (each output
+    # chunk's +-1 neighbors cover every |k - j| <= truncate)
     seeds = jnp.moveaxis(trimap2 >= 0.5, -1, 0)          # [2, ..., H, W]
-    d2 = edt_squared(seeds, truncate=256)
+    d2 = edt_squared(seeds, chunk=256, truncate=256)
     outs = []
     for k in range(2):
         for s in (0.02, 0.08, 0.16):
