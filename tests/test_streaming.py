@@ -39,3 +39,39 @@ def test_streaming_matches_forward_eval(rng):
 
     got_center = np.asarray(o2)[0]
     np.testing.assert_allclose(got_center, want_center, atol=1e-5)
+
+
+def test_streaming_matches_forward_eval_fba(rng):
+    """Flagship vmn_fba: streaming must match the batch EvalModel path —
+    covers the FBA extras plumbing (raw image + 2ch trimap), the decoder
+    tail and the (alpha, F, B) output pasting."""
+    name = "vmn_fba"
+    cfg = FM.TaskConfig(model=name, agg_window=3)
+    module = registry.build_model(name, agg_window=3)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 3, H, W, 11))
+    masks = jnp.ones((1, 3, H, W, 1))
+    extras = (jnp.zeros((1, 3, H, W, 3)), jnp.zeros((1, 3, H, W, 2)))
+    variables = jax.jit(lambda: module.init(
+        {"params": key, "dropout": key}, x, masks, extras=extras,
+        train=False))()
+
+    imgs = rng.randint(0, 256, (1, 3, H, W, 3)).astype(np.float32)
+    tri = np.zeros((1, 3, H, W, 1), np.float32)
+    tri[:, :, 20:50, 10:60] = 128.0
+    tri[:, :, 30:40, 25:45] = 255.0
+
+    want = jax.jit(lambda v: FM.forward_eval(
+        module, v, jnp.asarray(imgs), jnp.asarray(tri), cfg))(variables)
+    want_alpha = np.asarray(want[0])[0, 1]    # frame 1's alpha
+    want_f = np.asarray(want[1])[0, 1]
+
+    sp = StreamingPredictor(module, variables, cfg)
+    state, _ = sp.step(None, imgs[:, 0], tri[:, 0])
+    state, _ = sp.step(state, imgs[:, 1], tri[:, 1])
+    state, o2 = sp.step(state, imgs[:, 2], tri[:, 2])   # matte for frame 1
+    alpha, f, b = o2
+    # GroupNorm's data-dependent statistics reassociate differently
+    # between the one-graph batch path and the per-frame streaming graphs
+    np.testing.assert_allclose(np.asarray(alpha)[0], want_alpha, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(f)[0], want_f, atol=5e-4)
