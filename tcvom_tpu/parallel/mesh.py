@@ -51,9 +51,11 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(put, batch)
 
 
-def pad_shard_batch(batch, mesh: Mesh):
+def pad_shard_batch(batch, mesh: Mesh, space_axis: int | None = None):
     """Pad dim 0 up to a multiple of the data-axis size (repeating the last
-    sample) and shard over 'data'. Returns (device batch, real batch size).
+    sample) and shard over 'data' (and optionally one spatial dim over
+    'space' — the H axis of 1080p activations; GSPMD inserts the conv
+    halos). Returns (device batch, real batch size).
 
     The multi-device inference tools use this where the reference used
     nn.DataParallel scatter/gather (pred_vmn.py:85) — every chip computes
@@ -66,7 +68,13 @@ def pad_shard_batch(batch, mesh: Mesh):
         batch = jax.tree.map(
             lambda x: np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], 0),
             batch)
-    return shard_batch(batch, mesh), b
+
+    def put(x):
+        sa = space_axis if space_axis is not None and np.ndim(x) > space_axis \
+            else None
+        return jax.device_put(x, batch_sharding(mesh, np.ndim(x), sa))
+
+    return jax.tree.map(put, batch), b
 
 
 def replicate(tree, mesh: Mesh):

@@ -121,3 +121,30 @@ def test_sharded_vmd_eval_step_matches_single_device(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(tris4)[:b], np.asarray(tris1),
                                atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_pad_shard_batch_space_axis(rng):
+    """2 data x 2 space mesh: the eval step over a batch whose H axis is
+    co-sharded over 'space' must match single-device outputs — the
+    single-stream multi-chip scaling mode of pred_vmn (--space)."""
+    from tcvom_tpu.infer.predict import make_vmd_eval_step
+    from tcvom_tpu.parallel.mesh import pad_shard_batch, replicate
+
+    cfg = FM.TaskConfig(model="vmn_dim", agg_window=3)
+    module = registry.build_model("vmn_dim", agg_window=3)
+    trainer = MattingTrainer(cfg, "vmd")
+    batch = _batch(rng, b=2)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = make_vmd_eval_step(module, cfg)
+    key = jax.random.PRNGKey(1)
+
+    _, alphas1, tris1 = step(state.variables, batch, key)
+
+    mesh = make_mesh(jax.devices()[:4], space=2)
+    vars_r = replicate(state.variables, mesh)
+    dev_batch, b = pad_shard_batch(jax.tree.map(np.asarray, batch), mesh,
+                                   space_axis=2)
+    _, alphas4, tris4 = step(vars_r, dev_batch, key)
+    np.testing.assert_allclose(np.asarray(alphas4)[:b], np.asarray(alphas1),
+                               atol=1e-4)

@@ -43,6 +43,10 @@ def parse_args():
                    help="global batch (default: one per device)")
     p.add_argument("--image_shape", type=int, nargs=2, default=(1088, 1920),
                    help="padded network resolution (1080 % 32 != 0)")
+    p.add_argument("--space", type=int, default=1,
+                   help="shard the image H axis over this many chips per "
+                        "batch element (single-stream multi-chip scaling; "
+                        "GSPMD inserts the conv halos)")
     return p.parse_args()
 
 
@@ -79,7 +83,7 @@ def main():
     # nn.DataParallel, pred_vmn.py:85): params replicated, batch dim-0
     # sharded; GSPMD partitions the jitted step
     from tcvom_tpu.parallel.mesh import make_mesh, pad_shard_batch, replicate
-    mesh = make_mesh()
+    mesh = make_mesh(space=args.space)
     variables = replicate(variables, mesh)
 
     step = make_vmd_eval_step(module, cfg)
@@ -92,7 +96,8 @@ def main():
         # chip gets work; losses are means over the padded batch (bounded
         # duplicate-sample bias on that one batch), preds sliced back to b
         dev, b = pad_shard_batch(
-            {k: batch_np[k] for k in ("a", "fg", "bg")}, mesh)
+            {k: batch_np[k] for k in ("a", "fg", "bg")}, mesh,
+            space_axis=2 if args.space > 1 else None)
         key, sub = jax.random.split(key)
         losses, alphas, tris = step(variables, dev, sub)
         alphas, tris = np.asarray(alphas)[:b], np.asarray(tris)[:b]
