@@ -72,17 +72,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--size", type=int, nargs=2, default=(1088, 1920))
-    ap.add_argument("--out", default=str(
-        pathlib.Path(__file__).resolve().parents[1] / "bf16_guard.json"))
+    ap.add_argument("--model", default="vmn_fba",
+                    choices=["vmn_fba", "vmn_dim", "vmn_gca", "vmn_index"])
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
     h, w = args.size
+    if args.out is None:
+        suffix = "" if args.model == "vmn_fba" else f"_{args.model[4:]}"
+        args.out = str(pathlib.Path(__file__).resolve().parents[1]
+                       / f"bf16_guard{suffix}.json")
 
-    name = "vmn_fba"
+    name = args.model
     cfg = FM.TaskConfig(model=name, agg_window=7)
     module = registry.build_model(name, agg_window=7)
     x = jnp.zeros((1, 3, h, w, 3 + cfg.trimap_channels), jnp.float32)
     masks = jnp.ones((1, 3, h, w, 1), jnp.float32)
-    extras = (jnp.zeros((1, 3, h, w, 3)), jnp.zeros((1, 3, h, w, 2)))
+    extras = ((jnp.zeros((1, 3, h, w, 3)), jnp.zeros((1, 3, h, w, 2)))
+              if cfg.method == "fba" else None)
     variables = jax.jit(lambda: module.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
         x, masks, extras=extras, train=False))()
