@@ -26,3 +26,18 @@ def test_fam_pallas_interpret_matches_xla(rng, shape, window, mxu):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
                                atol=1e-5)
+
+
+def test_dispatch_policy_table():
+    """Pin the measured dispatch policy (bench_fam.json): VPU on small f32
+    grids, MXU on bf16 and wide-channel 1080p grids, XLA elsewhere."""
+    from tcvom_tpu.ops.fam_pallas import _choose_impl
+
+    assert _choose_impl(64, 64, 256, jnp.float32) == "vpu"
+    assert _choose_impl(64, 64, 256, jnp.bfloat16) == "mxu"
+    assert _choose_impl(136, 240, 256, jnp.float32) == "mxu"
+    assert _choose_impl(136, 240, 256, jnp.bfloat16) == "mxu"
+    assert _choose_impl(136, 240, 128, jnp.float32) == "xla"
+    # lane misalignment / non-multiple-of-8 grids always fall back
+    assert _choose_impl(136, 240, 32, jnp.float32) == "xla"
+    assert _choose_impl(63, 64, 256, jnp.float32) == "xla"
