@@ -56,7 +56,8 @@ class FBAEncoder(nn.Module):
         w1, _ = RawConvParams(64, self.input_chn, (7, 7), use_bias=False,
                               kernel_init=nn.initializers.he_normal(),
                               name="conv1")()
-        if x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
+        if (x.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+                and x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0):
             # stem on the block-packed input: 44 channels on the half grid
             # instead of 11 at full res (s2d is an identity conv here)
             h = sp.conv2d(sp.s2d(x), sp.stem7_s2_packed_kernel(

@@ -304,8 +304,12 @@ def _fba_extras(pre, cfg: TaskConfig):
 
 def forward_single(module, variables, key, batch, cfg: TaskConfig,
                    train: bool, mutable=False):
-    """FullModel forward for non-VMN archs: center frame only
-    (models/model.py:199-246). Returns (losses dict, aux dict[, new state])."""
+    """FullModel forward (models/model.py:199-246): non-VMN archs run the
+    center frame only; VMN archs (the TAM-pretrain configuration,
+    pretrain_ddp.py) run the full temporal module over all frames with the
+    trimap masks, supervising frames 1..S-2 — but WITHOUT the video-only
+    L_att/L_dt terms (model.py:214-219 vs FullModel_VMD).
+    Returns (losses dict, aux dict[, new state])."""
     a, fg, bg = batch["a"], batch["fg"], batch["bg"]
     s = a.shape[1]
     c = s // 2
@@ -313,24 +317,38 @@ def forward_single(module, variables, key, batch, cfg: TaskConfig,
     pre = preprocess(kp, a, fg, bg, cfg)
 
     inputs = _model_inputs(pre, cfg)
-    extras = None
-    if cfg.method == "fba":
-        ex = _fba_extras(pre, cfg)
-        extras = (ex[0][:, c], ex[1][:, c])
-    out = module.apply(variables, inputs[:, c], extras=extras, train=train,
-                       mutable=mutable, rngs={"dropout": kd} if train else None)
-    if mutable:
-        pred_c, new_state = out
+    if cfg.is_vmn:
+        extras = _fba_extras(pre, cfg) if cfg.method == "fba" else None
+        out = module.apply(variables, inputs, pre["trimasks"], extras=extras,
+                           train=train, mutable=mutable,
+                           rngs={"dropout": kd} if train else None)
+        if mutable:
+            (preds, _, _, _), new_state = out
+        else:
+            (preds, _, _, _), new_state = out, None
+        start, end = 1, s - 1
     else:
-        pred_c, new_state = out, None
-    preds = jnp.zeros(a.shape[:2] + pred_c.shape[1:], pred_c.dtype)
-    preds = preds.at[:, c].set(pred_c)
+        extras = None
+        if cfg.method == "fba":
+            ex = _fba_extras(pre, cfg)
+            extras = (ex[0][:, c], ex[1][:, c])
+        out = module.apply(variables, inputs[:, c], extras=extras, train=train,
+                           mutable=mutable,
+                           rngs={"dropout": kd} if train else None)
+        if mutable:
+            pred_c, new_state = out
+        else:
+            pred_c, new_state = out, None
+        preds = jnp.zeros(a.shape[:2] + pred_c.shape[1:], pred_c.dtype)
+        preds = preds.at[:, c].set(pred_c)
+        start, end = c, c + 1
 
     if cfg.method == "fba":
         l1, l2, l3, alphas, comps, fs, bs = fba_single_image_losses(
-            cfg, preds, pre, c, c + 1)
+            cfg, preds, pre, start, end)
     else:
-        l1, l2, l3, alphas, comps = single_image_losses(cfg, preds, pre, c, c + 1)
+        l1, l2, l3, alphas, comps = single_image_losses(cfg, preds, pre,
+                                                        start, end)
         fs, bs = pre["scaled_fgs"], pre["scaled_bgs"]
     losses = {"L1": l1, "L2": l2, "L3": l3}
     aux = dict(pre=pre, alphas=alphas, comps=comps, Fs=fs, Bs=bs)

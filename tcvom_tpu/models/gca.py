@@ -151,7 +151,10 @@ class GCAEncoder(nn.Module):
         b2 = RawBatchNorm(32, name="bn2")
         c3 = SNConvRaw(64, 32, strides=2, name="conv3")
         b3 = RawBatchNorm(64, name="bn3")
-        fast = jax.default_backend() == "tpu" and not train
+        # the s2d block-packing needs even spatial dims (same gate as
+        # _Shortcut / GCADecoder); odd inputs take the reference-shaped path
+        fast = (jax.default_backend() == "tpu" and not train
+                and x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0)
         if fast:
             w1, _ = c1(kernel_only=True)
             w2, _ = c2(kernel_only=True)

@@ -305,8 +305,19 @@ def fam_attention(q, k, mask, window: int, use_pallas: bool | None = None):
     if use_pallas is None:
         impl = (_choose_impl(h, w, c, q.dtype)
                 if jax.default_backend() == "tpu" else "xla")
+    elif use_pallas:
+        # forced-Pallas still picks vpu/mxu by the measured policy — the
+        # VPU variant does not lower in bf16, so hardcoding it here would
+        # be a footgun (it also loses at large grids)
+        impl = _choose_impl(h, w, c, q.dtype)
+        if impl == "xla":    # shape doesn't tile; honor the request anyway
+            impl = "mxu" if q.dtype == jnp.bfloat16 else "vpu"
+            if _pick_tiles(h, w) is None or c % 128:
+                raise ValueError(
+                    f"use_pallas=True but grid {h}x{w}xC{c} does not tile "
+                    "for the fused kernels (need H%8==0, W%8==0, C%128==0)")
     else:
-        impl = "vpu" if use_pallas else "xla"
+        impl = "xla"
     if impl != "xla":
         return fam_attention_fused(q, k, mask, window, mxu=(impl == "mxu"))
     return fam_attention_xla(q, k, mask, window)

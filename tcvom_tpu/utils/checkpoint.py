@@ -14,6 +14,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 try:
@@ -46,6 +47,45 @@ def restore_checkpoint(path: str, target=None):
         return pickle.load(f)
 
 
+def restore_train_state(path: str, state):
+    """Restore a FULL TrainState (params + model_state + opt_state + step)
+    saved by ``save_checkpoint`` — the reference's optimizer-resume path
+    (train_ddp.py:300-304, ``optimizer.load_state_dict`` + start step).
+
+    ``state`` is the freshly-initialized TrainState used as the structure
+    template: orbax restores into it (``item=``), so optax NamedTuples /
+    MaskedNode placeholders round-trip instead of degrading to plain
+    lists/dicts. The pickle fallback preserves structure by construction;
+    both paths are re-flattened into the template's treedef so a resumed
+    state is structurally identical to a fresh one.
+    """
+    template = {"step": state.step, "params": state.params,
+                "model_state": state.model_state,
+                "opt_state": state.opt_state}
+    template_np = jax.tree.map(np.asarray, template)
+    raw = restore_checkpoint(path, target=template_np)
+
+    tdef = jax.tree.structure(template)
+    leaves = jax.tree.leaves(raw)
+    want = jax.tree.leaves(template)
+    if len(leaves) != len(want):
+        raise ValueError(
+            f"checkpoint at {path} has {len(leaves)} leaves; current "
+            f"TrainState has {len(want)} — model/optimizer config changed "
+            "since the checkpoint was written (use TRAIN.LOAD_CKPT for a "
+            "weights-only partial load)")
+    for l, w in zip(leaves, want):
+        if np.shape(l) != np.shape(w):
+            raise ValueError(
+                f"checkpoint leaf shape {np.shape(l)} != expected "
+                f"{np.shape(w)} at {path}")
+    restored = jax.tree.unflatten(tdef, leaves)
+    return state.replace(step=jnp.asarray(restored["step"], jnp.int32),
+                         params=restored["params"],
+                         model_state=restored["model_state"],
+                         opt_state=restored["opt_state"])
+
+
 def load_imagenet_encoder(model_name: str, init_variables: dict,
                           ckpt_path: str, logger=None):
     """Initialize the backbone encoder from a torch ImageNet ResNet
@@ -68,20 +108,33 @@ def load_imagenet_encoder(model_name: str, init_variables: dict,
         logger.info("ImageNet init: unconverted torch keys: %s",
                     sorted(unmatched))
 
-    # widen the stem kernel to the model's input width (RGB + trimap chans)
-    def find_stem(tree, path=()):
-        for k, v in tree.items():
-            if isinstance(v, dict):
-                got = find_stem(v, path + (k,))
-                if got:
-                    return got
-            elif (k in ("kernel", "kernel_bar") and path
-                  and path[-1] in ("conv1", "block11", "layer0")):
-                return path + (k,)
+    # widen the stem kernel to the model's input width (RGB + trimap chans).
+    # The stem is matched EXPLICITLY at the top of the encoder (not by a
+    # recursive name search — a residual block's conv1, e.g.
+    # encoder/layer1_0/conv1, must not shadow it): it is the first
+    # encoder child among the known per-backbone stem module names.
+    def find_stem(tree):
+        enc = tree.get("encoder", {})
+        for stem_name in ("conv1", "block11", "layer0"):
+            node = enc.get(stem_name)
+            if not isinstance(node, dict):
+                continue
+            for leaf in ("kernel", "kernel_bar"):
+                if leaf in node:
+                    return ("encoder", stem_name, leaf)
+            # one nested level (e.g. index: encoder/layer0/conv/kernel)
+            for sub, v in node.items():
+                if isinstance(v, dict):
+                    for leaf in ("kernel", "kernel_bar"):
+                        if leaf in v:
+                            return ("encoder", stem_name, sub, leaf)
         return None
 
     params = loaded.get("params", {})
     stem_path = find_stem(params)
+    if stem_path is None and logger:
+        logger.info("ImageNet init: no stem conv found under encoder/ — "
+                    "stem widening skipped")
     if stem_path:
         node, tgt = params, init_variables.get("params", {})
         for p in stem_path[:-1]:

@@ -87,10 +87,6 @@ def _dim_rules(vmn: bool) -> list[Rule]:
     return rules
 
 
-def _index_inverted_residual(m: re.Match) -> list[Rule]:
-    raise NotImplementedError  # handled inline below
-
-
 _INDEX_IR_EXPAND1 = {"0": ("dw", "conv"), "1": ("dw_bn", "bn"),
                      "3": ("pw_linear", "conv"), "4": ("pw_linear_bn", "bn")}
 _INDEX_IR_EXPAND6 = {"0": ("pw", "conv"), "1": ("pw_bn", "bn"),

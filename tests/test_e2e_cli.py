@@ -162,3 +162,45 @@ def test_pred_single_adobe(tmp_path):
         # grid is 64x64; crop is min(og, grid) per sample
         assert pred.shape == (min(og[0], 64), min(og[1], 64)), \
             (i, pred.shape)
+
+
+@pytest.mark.slow
+def test_pretrain_dim_e2e(tmp_path):
+    """TAM-pretrain driver end-to-end on synthetic Adobe stills (reference
+    pretrain_ddp.py): --driver single --dataset dim --eps 0.01 with a VMN
+    model + FREEZE_BACKBONE, covering synth_frames3's random-affine branch,
+    the eps alpha snap, and the frozen-backbone optimizer mask in one run."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_fake_dataset
+    root = str(tmp_path / "adobe")
+    make_fake_dataset.make_adobe(root, n=2, hw=(80, 56))
+
+    outdir = str(tmp_path / "run")
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"""
+MODEL: 'vmn_dim'
+AGG_WINDOW: 3
+SYSTEM:
+  NUM_WORKERS: 2
+  RANDOM_SEED: 3
+  OUTDIR: '{outdir}'
+DATASET:
+  PATH: '{root}'
+TRAIN:
+  BATCH_SIZE_PER_GPU: 1
+  BASE_LR: 1e-4
+  FREEZE_BACKBONE: true
+  MIN_EDGE_LENGTH: 64
+  TRAIN_INPUT_SIZE: [64, 64]
+  VAL_INPUT_SIZE: [64, 64]
+  TOTAL_STEPS: 1
+  PRINT_FREQ: 1
+  IMAGE_FREQ: 1000
+""")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "train.py"),
+         "--cfg", str(cfg), "--driver", "single", "--dataset", "dim",
+         "--eps", "0.01"],
+        env=ENV, capture_output=True, text=True, timeout=3000)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(outdir, "cfg", "checkpoint_1"))

@@ -107,7 +107,8 @@ def main():
 
     def write_vis(cf, a, g, t, m):
         """Error visualization (reference calc_metric.py:103-126): red
-        error overlay beside the gt, trimap inset, metric caption."""
+        error overlay beside the gt, trimap inset, and the SAD/MSE/valid
+        pixel-count caption burned into a bottom border strip."""
         outdir = os.path.join(args.pred, "vis")
         os.makedirs(os.path.join(outdir, os.path.dirname(cf)), exist_ok=True)
         a8 = np.uint8(a * 255)
@@ -121,6 +122,13 @@ def main():
                         interpolation=cv2.INTER_NEAREST)
         x0 = comp.shape[1] // 2 - tv.shape[1] // 2
         comp[-tv.shape[0]:, x0:x0 + tv.shape[1]] = np.stack([tv] * 3, -1)
+        # metric caption on a blue bottom strip (calc_metric.py:120-126)
+        comp = cv2.copyMakeBorder(comp, 0, 100, 0, 0, cv2.BORDER_CONSTANT,
+                                  value=(255, 0, 0))
+        caption = "SAD={:.6f} MSE={:.6f} valid_pxs={}".format(
+            m["mSAD"], m["MSE"], int(m["pixel_count"]))
+        comp = cv2.putText(comp, caption, (20, comp.shape[0] - 20),
+                           cv2.FONT_HERSHEY_SIMPLEX, 2, (0, 255, 0), 3)
         fn = os.path.splitext(cf)[0]
         cv2.imwrite(os.path.join(outdir, fn + ".png"), comp)
 
@@ -130,7 +138,7 @@ def main():
             out = frame_metrics(*[jnp.asarray(x) for x in arrs])
             results[cf] = {k: float(v) for k, v in jax.device_get(out).items()}
             if args.vis:
-                write_vis(cf, arrs[0], arrs[1], arrs[2], None)
+                write_vis(cf, arrs[0], arrs[1], arrs[2], results[cf])
             print(cf)
 
     # aggregate per video, then globally (calc_metric.py:190-233)

@@ -81,6 +81,12 @@ def make_adobe(root: str, n: int = 2, hw=(80, 56), seed=0):
         f.write("\n".join(fg_lines) + "\n")
     with open(os.path.join(root, "bg_val_set.txt"), "w") as f:
         f.write("\n".join(bg_lines) + "\n")
+    # train-mode lists too (pretrain_ddp path): each fg line covers 100 bgs
+    # in the reference layout, so one fg is enough for a tiny bg set
+    with open(os.path.join(root, "fg_train_set_old.txt"), "w") as f:
+        f.write("\n".join(fg_lines) + "\n")
+    with open(os.path.join(root, "bg_train_set.txt"), "w") as f:
+        f.write("\n".join(bg_lines) + "\n")
 
 
 if __name__ == "__main__":

@@ -45,7 +45,30 @@ def parse_args():
     p.add_argument("--val_mode", default="resize",
                    choices=["gca", "dim", "origin", "resize"])
     p.add_argument("--min_shape", type=int, default=800)
+    p.add_argument("--vis", action="store_true",
+                   help="write side-by-side pred|gt visualizations with a "
+                        "trimap inset and SAD/MSE caption "
+                        "(reference pred_single.py:194-208)")
     return p.parse_args()
+
+
+def write_vis_image(vis_dir: str, fn: str, a8, g8, t8, sad, mse, pcount):
+    """Side-by-side pred|gt, quarter-res trimap inset bottom-center, blue
+    caption strip (reference pred_single.py:194-208)."""
+    import cv2
+    h, w = a8.shape
+    vis_t = cv2.resize(t8, (w // 4, h // 4), interpolation=cv2.INTER_NEAREST)
+    comp = cv2.hconcat([a8, g8])
+    x0 = comp.shape[1] // 2 - vis_t.shape[1] // 2
+    comp[-vis_t.shape[0]:, x0:x0 + vis_t.shape[1]] = vis_t
+    comp = cv2.cvtColor(comp, cv2.COLOR_GRAY2BGR)
+    comp = cv2.copyMakeBorder(comp, 0, 100, 0, 0, cv2.BORDER_CONSTANT,
+                              value=(255, 0, 0))
+    caption = "SAD={:.6f} MSE={:.6f} valid_pxs={}".format(sad, mse, pcount)
+    comp = cv2.putText(comp, caption, (20, comp.shape[0] - 20),
+                       cv2.FONT_HERSHEY_SIMPLEX, 2, (0, 255, 0), 3)
+    os.makedirs(os.path.join(vis_dir, os.path.dirname(fn)), exist_ok=True)
+    cv2.imwrite(os.path.join(vis_dir, fn + ".png"), comp)
 
 
 def main():
@@ -96,14 +119,19 @@ def main():
         losses, alphas, tris = step(variables, dev, sub)
         alphas, tris = np.asarray(alphas)[:b], np.asarray(tris)[:b]
         gts = batch_np["a"][:, c] / 255.0
+        per_sample = []                      # (sad, mse, pcount) per i
         for i in range(alphas.shape[0]):
             t = tris[i, ..., 0]
             m = (t > 0) & (t < 1)
             if m.sum():
                 d = alphas[i, ..., 0][m] - gts[i, ..., 0][m]
-                msad += float(np.mean(np.abs(d)))
-                mse += float(np.mean(d * d))
+                s_i, e_i = float(np.mean(np.abs(d))), float(np.mean(d * d))
+                msad += s_i
+                mse += e_i
                 count += 1
+                per_sample.append((s_i, e_i, int(m.sum())))
+            else:
+                per_sample.append((0.0, 0.0, 0))
         if args.dataset == "adobe":
             names = ["{:05d}".format(int(i)) for i in batch_np["idx"]]
             if "og_shape" in batch_np:       # per-sample original sizes
@@ -113,8 +141,17 @@ def main():
             write_pred_pngs(args.save, names, alphas, tris, crop_hw=crop)
         else:
             names = [dataset.samples[int(i)][c] for i in batch_np["idx"]]
-            write_pred_pngs(args.save, names, alphas, tris,
-                            crop_hw=(min(1080, alphas.shape[1]), alphas.shape[2]))
+            crop = (min(1080, alphas.shape[1]), alphas.shape[2])
+            write_pred_pngs(args.save, names, alphas, tris, crop_hw=crop)
+        if args.vis:
+            vis_dir = os.path.join(args.save, "vis")
+            for i, name in enumerate(names):
+                h, w = crop[i] if isinstance(crop, list) else crop
+                a8 = np.uint8(np.clip(alphas[i, :h, :w, 0], 0, 1) * 255)
+                g8 = np.uint8(np.clip(gts[i, :h, :w, 0], 0, 1) * 255)
+                t8 = np.uint8(np.clip(tris[i, :h, :w, 0], 0, 1) * 255)
+                fn = os.path.splitext(name)[0]
+                write_vis_image(vis_dir, fn, a8, g8, t8, *per_sample[i])
         print(names[-1])
     print_loss_dict({"mSAD": msad / max(count, 1), "MSE": mse / max(count, 1)},
                     os.path.join(args.save, "loss.log"))

@@ -93,14 +93,21 @@ def main():
     key = jax.random.PRNGKey(1)
     for batch_np in loader:
         # final partial batch: padded by repeating the last sample so every
-        # chip gets work; losses are means over the padded batch (bounded
-        # duplicate-sample bias on that one batch), preds sliced back to b
+        # chip gets work; preds are sliced back to b, and the LOSSES are
+        # recomputed over only the real b samples (the reference's exact
+        # per-batch accumulation — a padded-batch mean would double-count
+        # the duplicated sample)
         dev, b = pad_shard_batch(
             {k: batch_np[k] for k in ("a", "fg", "bg")}, mesh,
             space_axis=2 if args.space > 1 else None)
         key, sub = jax.random.split(key)
         losses, alphas, tris = step(variables, dev, sub)
         alphas, tris = np.asarray(alphas)[:b], np.asarray(tris)[:b]
+        if b < dev["a"].shape[0]:
+            # unpadded re-run for exact tail-batch losses (one extra jit
+            # specialization, once per sweep)
+            real = {k: jnp.asarray(batch_np[k]) for k in ("a", "fg", "bg")}
+            losses, _, _ = step(variables, real, sub)
         losses = jax.device_get(losses)
         lmap = dict(zip(["L_alpha", "L_comp", "L_grad"], ("L1", "L2", "L3")))
         for name, k in lmap.items():

@@ -27,7 +27,8 @@ from tcvom_tpu.data.vmd import VideoMattingDataset
 from tcvom_tpu.models.full_model import TaskConfig
 from tcvom_tpu.parallel import make_mesh, shard_batch
 from tcvom_tpu.train.trainer import MattingTrainer
-from tcvom_tpu.utils.checkpoint import load_weights, restore_checkpoint, save_checkpoint
+from tcvom_tpu.utils.checkpoint import (load_weights, restore_train_state,
+                                        save_checkpoint)
 from tcvom_tpu.utils.logging import AverageMeter, create_logger
 
 
@@ -82,7 +83,7 @@ def main():
         from tcvom_tpu.data.dim import DIMPretrainDataset
         train_ds = DIMPretrainDataset(
             data_root=cfg.DATASET.PATH, image_shape=cfg.TRAIN.TRAIN_INPUT_SIZE,
-            min_shape=cfg.TRAIN.MIN_EDGE_LENGTH, seed=seed)
+            min_shape=cfg.TRAIN.MIN_EDGE_LENGTH, plus1=False, seed=seed)
         val_ds = None
 
     global_bs = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
@@ -127,9 +128,14 @@ def main():
         state = state.replace(params=params, model_state=merged)
         logger.info("=> loaded checkpoint from %s", cfg.TRAIN.LOAD_CKPT)
     if cfg.TRAIN.LOAD_OPT:
-        full = restore_checkpoint(cfg.TRAIN.LOAD_OPT)
-        state = jax.tree.map(lambda a, b: b, state, full)
-        start_epoch = int(np.asarray(full["step"])) // steps_per_epoch
+        # full optimizer resume (reference train_ddp.py:300-304): restore
+        # the entire TrainState into the freshly-initialized structure so
+        # optax state (moments, step counts, masked nodes) round-trips
+        state = restore_train_state(cfg.TRAIN.LOAD_OPT, state)
+        start_epoch = int(np.asarray(state.step)) // steps_per_epoch
+        logger.info("=> resumed full train state from %s (step %d, "
+                    "epoch %d)", cfg.TRAIN.LOAD_OPT,
+                    int(np.asarray(state.step)), start_epoch)
 
     losses_fmt = (["L_alpha", "L_comp", "L_grad"]
                   if task.method != "fba" else
