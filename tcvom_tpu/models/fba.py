@@ -281,10 +281,17 @@ class FBADecoder(nn.Module):
 
         out = _fba_tail(h4, conv_out[-5], ex1, p)
 
+        # the closed-form consistency solve runs in f32 regardless of the
+        # network dtype: it is a handful of elementwise ops at OS=1
+        # (HBM-bound, negligible next to the conv stack) and its
+        # sigmoid/divide chain is the last place bf16 rounding can still
+        # move an output pixel before pasting
+        out = out.astype(jnp.float32)
+        img32 = img.astype(jnp.float32)
         alpha = jnp.clip(out[..., 0:1], 0, 1)
         F = jax.nn.sigmoid(out[..., 1:4])
         B = jax.nn.sigmoid(out[..., 4:7])
-        alpha, F, B = fba_fusion(alpha, img, F, B)
+        alpha, F, B = fba_fusion(alpha, img32, F, B)
         return jnp.concatenate([alpha, F, B], axis=-1)
 
 

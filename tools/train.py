@@ -57,6 +57,15 @@ def build_argparser():
 
 def main():
     args = build_argparser().parse_args()
+    # pod-slice (multi-host) wiring: one controller process per host.
+    # jax.distributed.initialize() reads JAX_COORDINATOR_ADDRESS /
+    # JAX_NUM_PROCESSES / JAX_PROCESS_ID (or the TPU metadata on real
+    # pods); after it, jax.devices() spans the slice, the Mesh covers all
+    # chips, and the loader below shards by jax.process_index(). The
+    # reference's analog is torch.distributed env:// rendezvous
+    # (train_ddp.py:202-204).
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
     cfg = load_config(args.cfg, args.opts)
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0] + cfg.SYSTEM.EXP_SUFFIX
     logger, outdir = create_logger(cfg.SYSTEM.OUTDIR, cfg_name, "train")

@@ -99,22 +99,55 @@ def main():
     a16 = stream(module, variables, cfg, clip, jnp.bfloat16)
 
     d = np.abs(a32 - a16)
+    flip = d > 0.5                                       # [T, H, W, 1]
+    transitional = (a32 > 0.05) & (a32 < 0.95)
     report = {
         "model": name, "frames": args.frames, "hw": [h, w],
         "mean_abs_dalpha": float(d.mean()),
         "max_abs_dalpha": float(d.max()),
         "p999_abs_dalpha": float(np.quantile(d, 0.999)),
+        # locality metrics: a mean-only gate can hide a handful of pixels
+        # flipping alpha completely. Flips split by the f32 pixel state:
+        # - transitional (0.05<a32<0.95): bf16 pushed a genuinely soft
+        #   pixel to an extreme -> real numerics damage, gated hard.
+        # - saturated (a32 at 0/1): both dtypes sit at a pole and disagree
+        #   on WHICH pole — an upstream hard-attention/tanh tie broke the
+        #   other way. At random init the attention logits are unnormalized
+        #   and softmax acts as argmax, so a 1-ulp reordering flips the
+        #   winner (measured: GCA is bitwise-equal on 99.94% of pixels,
+        #   p999 = 0, every diff a full flip). Trained weights keep logits
+        #   moderate; gated loosely as a canary.
+        "frac_flip": float(flip.mean()),
+        "frac_flip_transitional": float((flip & transitional).mean()),
+        "frac_dalpha_gt_0.25": float((d > 0.25).mean()),
         "dtssd_f32": round(dtssd(a32, gts), 4),
         "dtssd_bf16": round(dtssd(a16, gts), 4),
     }
+    report["frac_flip_saturated"] = report["frac_flip"] - \
+        report["frac_flip_transitional"]
     report["dtssd_rel_delta"] = abs(
         report["dtssd_bf16"] - report["dtssd_f32"]) / max(
         report["dtssd_f32"], 1e-9)
+    # gates: (1) headline temporal metric moves <1% (BASELINE.md parity
+    # tolerance); (2) worst-case locality per the split above; (3) the
+    # p99.9 pixel moves <0.1. Locality thresholds sit ~1.7x above the
+    # values measured at random init (fba transitional 5.9e-6 — isolated
+    # pixels where bf16 feature rounding meets a steep head response, not
+    # the f32 fusion solve, verified by running the solve in f32; gca
+    # saturated 6.4e-4 — hard-attention tie flips). Random init is the
+    # steep-response worst case (unnormalized activations); a genuine
+    # bf16-path regression moves these fractions by orders of magnitude.
+    gates = {
+        "dtssd_rel_delta<0.01": report["dtssd_rel_delta"] < 0.01,
+        "frac_flip_transitional<1e-5": report["frac_flip_transitional"] < 1e-5,
+        "frac_flip_saturated<1e-3": report["frac_flip_saturated"] < 1e-3,
+        "p999<0.1": report["p999_abs_dalpha"] < 0.1,
+    }
+    report["gates"] = {k: bool(v) for k, v in gates.items()}
+    report["ok"] = all(gates.values())
     print(json.dumps(report, indent=1))
     pathlib.Path(args.out).write_text(json.dumps(report, indent=1) + "\n")
-    # guard: bf16 must not move the headline temporal metric by >1% —
-    # the same tolerance BASELINE.md applies to checkpoint parity
-    assert report["dtssd_rel_delta"] < 0.01, report
+    assert report["ok"], report
 
 
 if __name__ == "__main__":
