@@ -110,6 +110,16 @@ class StreamingPredictor:
         """``dtype=jnp.bfloat16`` runs the network in bf16 (params cast
         once, activations bf16, preprocessing and output pasting stay f32)
         — ~half the HBM traffic. Default f32 preserves reference numerics.
+
+        The encode->decode boundary carries only what decode reads: the
+        enc pytree is pruned to the head's inputs (``prune_enc_head`` —
+        e.g. FBA's extract-only OS=8 pyramid, ~115 MB/frame at 1080p,
+        never enters the cache) and the prev/next slots enter decode as
+        bare ``feat`` arrays. An AUTO-layout AOT negotiation across this
+        boundary was prototyped and measured flat (15.74 -> 15.76 fps at
+        1080p bf16): with the pruned boundary XLA's chosen layouts for
+        the crossing tensors already match the defaults, so there are no
+        boundary relayouts left to kill.
         """
         assert cfg.is_vmn, "streaming pipeline drives VMN models"
         self.module = module
@@ -120,6 +130,12 @@ class StreamingPredictor:
         self.cfg = cfg
         self._encode = jax.jit(self._encode_impl)
         self._decode = jax.jit(self._decode_impl)
+
+    def _run_encode(self, img, tri):
+        return self._encode(self.variables, img, tri)
+
+    def _run_decode(self, prev, cur, nxt):
+        return self._decode(self.variables, cur, prev["feat"], nxt["feat"])
 
     def _encode_impl(self, variables, img, tri):
         cfg = self.cfg
@@ -134,14 +150,20 @@ class StreamingPredictor:
         enc, feat = self.module.apply(
             variables, inputs, extras=extras, train=False,
             method=type(self.module).encode_extract)
+        # cache only what the head half reads — the extract-only leaves
+        # (e.g. FBA's OS=8 pyramid, ~115 MB/frame) would both bloat the
+        # cache and, as unused decode parameters, veto layout negotiation
+        prune = getattr(type(self.module.decoder), "prune_enc_head", None)
+        if prune is not None:
+            enc = prune(enc)
         return dict(enc=enc, feat=feat, trimask=pre["trimasks"][:, 0],
                     gt_tri=tri * FM.IMG_SCALE,
                     scaled_img=pre["scaled_imgs"][:, 0])
 
-    def _decode_impl(self, variables, prev, cur, nxt):
+    def _decode_impl(self, variables, cur, prev_feat, nxt_feat):
         cfg = self.cfg
         pred, attb, attf, _ = self.module.apply(
-            variables, cur["enc"], cur["feat"], prev["feat"], nxt["feat"],
+            variables, cur["enc"], cur["feat"], prev_feat, nxt_feat,
             cur["trimask"], train=False,
             method=type(self.module).decode_window)
         mask = cur["trimask"] > 0.5
@@ -162,25 +184,29 @@ class StreamingPredictor:
         """
         # NB: encode and decode stay two jit calls — a fused single-call
         # variant measured 12.9 vs 15.4 fps (XLA schedules the combined
-        # graph with higher peak memory and worse overlap)
-        frame = self._encode(self.variables, jnp.asarray(img), jnp.asarray(tri))
+        # graph with higher peak memory and worse overlap), and the
+        # pruned boundary crosses with default layouts on both sides
+        # (AUTO-layout negotiation measured flat, see __init__).
+        frame = self._run_encode(jnp.asarray(img), jnp.asarray(tri))
         if state is None:
             return ("first", frame), None
         if state[0] == "first":
             f0 = state[1]
-            out0 = self._decode(self.variables, frame, f0, frame)
-            return (f0, frame), out0
+            out0 = self._run_decode(frame, f0, frame)
+            return ({"feat": f0["feat"]}, frame), out0
         prev, cur = state
-        out = self._decode(self.variables, prev, cur, frame)
-        return (cur, frame), out
+        out = self._run_decode(prev, cur, frame)
+        # a frame that has served as the window center is only ever read
+        # as a neighbor (feat) afterwards — drop the rest of its cache
+        return ({"feat": cur["feat"]}, frame), out
 
     def flush(self, state):
         """Emit the final frame's matte (reflected next neighbor)."""
         if state[0] == "first":       # single-frame clip
             f = state[1]
-            return self._decode(self.variables, f, f, f)
+            return self._run_decode(f, f, f)
         prev, cur = state
-        return self._decode(self.variables, prev, cur, prev)
+        return self._run_decode(prev, cur, prev)
 
 
 # ---------------------------------------------------------------------------

@@ -114,6 +114,13 @@ class DIMDecoderVMN(nn.Module):
     """
     fam_channels: int = 256
 
+    @staticmethod
+    def prune_enc_head(enc):
+        """Keep only the enc leaves the ``mode='head'`` branch reads
+        (pool indices 1-3); idx4/idx5/x6 feed the extract half only."""
+        i1, i2, i3, _, _ = enc["indices"]
+        return {"indices": (i1, i2, i3, None, None)}
+
     @nn.compact
     def __call__(self, enc, train: bool = False, mode: str = "extract", x=None):
         if mode == "extract":

@@ -243,6 +243,20 @@ class FBADecoder(nn.Module):
 
     fam_channels: int = 256   # FAM width at the OS=8 split (VMN)
 
+    @staticmethod
+    def prune_enc_head(enc):
+        """Drop the enc leaves the ``mode='head'`` branch never reads
+        (the OS=8 conv_out[3..5] pyramid, ~115 MB/frame at 1080p, and the
+        8 unused raw-input channels), keeping container shapes so the
+        negative indexing below is unchanged. Streaming caches / jit
+        boundaries carry only what decode actually consumes."""
+        co = enc["conv_out"]
+        out = {"conv_out": (co[0][..., :3], co[1], co[2], None, None, None)}
+        for k in ("extras", "img", "two_chan_trimap"):
+            if k in enc:
+                out[k] = enc[k]
+        return out
+
     @nn.compact
     def __call__(self, enc, train: bool = False, mode: str = "full", x=None):
         conv_out = enc["conv_out"]

@@ -218,6 +218,14 @@ class GCADecoder(nn.Module):
     layers: tuple = (2, 3, 3, 2)
     fam_channels: int = 128      # FAM width at the OS=8 split (VMN)
 
+    @staticmethod
+    def prune_enc_head(enc):
+        """Keep only the enc leaves the ``mode='head'`` branch reads
+        (shortcuts 1-3); fea4/fea5, the bottleneck, and the GCA guidance
+        tensors feed the extract half only."""
+        f1, f2, f3, _, _ = enc["shortcut"]
+        return {"shortcut": (f1, f2, f3, None, None)}
+
     @nn.compact
     def __call__(self, enc, train: bool = False, mode: str = "full", x=None):
         fea1, fea2, fea3, fea4, fea5 = enc["shortcut"]

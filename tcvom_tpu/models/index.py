@@ -315,6 +315,13 @@ class IndexMattingDecoderVMN(nn.Module):
     16-32 channel full-res convs otherwise waste the 128-lane axis)."""
     fam_channels: int = 32
 
+    @staticmethod
+    def prune_enc_head(enc):
+        """Keep only the enc leaves the ``mode='head'`` branch reads
+        (skip levels 0-3 and their decoder index maps)."""
+        return {k: enc[k] for k in
+                ("l0", "l1", "l2", "l3", "idx0_de", "idx2_de", "idx3_de")}
+
     @nn.compact
     def __call__(self, enc, train: bool = False, mode: str = "extract", x=None):
         if mode == "extract":
