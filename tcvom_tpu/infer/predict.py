@@ -135,7 +135,10 @@ class StreamingPredictor:
         return self._encode(self.variables, img, tri)
 
     def _run_decode(self, prev, cur, nxt):
-        return self._decode(self.variables, cur, prev["feat"], nxt["feat"])
+        # the center's own key projection is not a decode input — strip it
+        # so the jit boundary carries no unused leaf
+        cur_c = {kk: cur[kk] for kk in cur if kk != "k"}
+        return self._decode(self.variables, cur_c, prev["k"], nxt["k"])
 
     def _encode_impl(self, variables, img, tri):
         cfg = self.cfg
@@ -147,25 +150,29 @@ class StreamingPredictor:
         if self.dtype is not None:
             inputs = inputs.astype(self.dtype)
             extras = jax.tree.map(lambda a: a.astype(self.dtype), extras)
-        enc, feat = self.module.apply(
+        enc, qkv = self.module.apply(
             variables, inputs, extras=extras, train=False,
-            method=type(self.module).encode_extract)
+            method=type(self.module).encode_extract_qkv)
         # cache only what the head half reads — the extract-only leaves
         # (e.g. FBA's OS=8 pyramid, ~115 MB/frame) would both bloat the
-        # cache and, as unused decode parameters, veto layout negotiation
+        # cache and, as unused decode parameters, veto layout negotiation.
+        # FAM projections are cached per frame (q, k, v) so decode runs no
+        # convolutions before the attention and a frame's key is computed
+        # once, not once per window it neighbors.
         prune = getattr(type(self.module.decoder), "prune_enc_head", None)
         if prune is not None:
             enc = prune(enc)
-        return dict(enc=enc, feat=feat, trimask=pre["trimasks"][:, 0],
+        return dict(enc=enc, q=qkv["q"], k=qkv["k"], v=qkv["v"],
+                    trimask=pre["trimasks"][:, 0],
                     gt_tri=tri * FM.IMG_SCALE,
                     scaled_img=pre["scaled_imgs"][:, 0])
 
-    def _decode_impl(self, variables, cur, prev_feat, nxt_feat):
+    def _decode_impl(self, variables, cur, prev_k, nxt_k):
         cfg = self.cfg
         pred, attb, attf, _ = self.module.apply(
-            variables, cur["enc"], cur["feat"], prev_feat, nxt_feat,
-            cur["trimask"], train=False,
-            method=type(self.module).decode_window)
+            variables, cur["enc"], {"q": cur["q"], "v": cur["v"]},
+            prev_k, nxt_k, cur["trimask"], train=False,
+            method=type(self.module).decode_window_qkv)
         mask = cur["trimask"] > 0.5
         alpha = jnp.where(mask, pred[..., 0:1], cur["gt_tri"])
         if cfg.method == "fba":
@@ -193,12 +200,12 @@ class StreamingPredictor:
         if state[0] == "first":
             f0 = state[1]
             out0 = self._run_decode(frame, f0, frame)
-            return ({"feat": f0["feat"]}, frame), out0
+            return ({"k": f0["k"]}, frame), out0
         prev, cur = state
         out = self._run_decode(prev, cur, frame)
         # a frame that has served as the window center is only ever read
-        # as a neighbor (feat) afterwards — drop the rest of its cache
-        return ({"feat": cur["feat"]}, frame), out
+        # as a neighbor (its key projection) afterwards — drop the rest
+        return ({"k": cur["k"]}, frame), out
 
     def flush(self, state):
         """Emit the final frame's matte (reflected next neighbor)."""

@@ -34,29 +34,50 @@ class FeatureAggregationModule(nn.Module):
     ``mask``: [N, H', W', 1] unknown-region mask at any resolution (nearest
     -resized to the feature grid here). Returns (aggregated features,
     attb logits, attf logits, small_mask).
+
+    The projections are exposed separately (:meth:`qkv` / :meth:`key`) so a
+    sliding-window pipeline can compute them once per frame and cache them —
+    in the plain form every frame's key projection is recomputed twice (once
+    as each neighbor). :meth:`aggregate` runs both window attentions in one
+    batched call (one Pallas launch over 2N instead of two over N).
     """
     input_chn: int
     reduction: int = 1
     window: int = 7
 
-    @nn.compact
-    def __call__(self, x, b, f, mask):
+    def setup(self):
         out_chn = self.input_chn // self.reduction
-        key_conv = Conv(out_chn, 3, padding=1, name="key_conv")
-        query_conv = Conv(out_chn, 3, padding=1, name="query_conv")
-        value_conv = Conv(out_chn, 3, padding=1, name="value_conv")
+        self.key_conv = Conv(out_chn, 3, padding=1)
+        self.query_conv = Conv(out_chn, 3, padding=1)
+        self.value_conv = Conv(out_chn, 3, padding=1)
 
-        h, w = x.shape[-3], x.shape[-2]
+    def qkv(self, x):
+        """Per-frame projections — the cacheable state of a stream."""
+        return self.query_conv(x), self.key_conv(x), self.value_conv(x)
+
+    def key(self, x):
+        return self.key_conv(x)
+
+    def aggregate(self, q, v, kb, kf, mask):
+        """Both neighbor attentions from precomputed projections."""
+        h, w = q.shape[-3], q.shape[-2]
         small_mask = resize_nearest(mask, (h, w))
-        small_mask = (small_mask > 0.5).astype(x.dtype)
+        small_mask = (small_mask > 0.5).astype(q.dtype)
+        n = q.shape[0]
+        # one batched attention over [prev; next] — same per-sample math,
+        # half the kernel launches
+        x2, att2 = fam_attention(
+            jnp.concatenate([q, q], axis=0),
+            jnp.concatenate([kb, kf], axis=0),
+            jnp.concatenate([small_mask, small_mask], axis=0), self.window)
+        return (v + x2[:n] + x2[n:], att2[:n], att2[n:], small_mask)
 
-        q = query_conv(x)
-        v = value_conv(x)
-        kb = key_conv(b)
-        kf = key_conv(f)
-        xb, attb = fam_attention(q, kb, small_mask, self.window)
-        xf, attf = fam_attention(q, kf, small_mask, self.window)
-        return v + xb + xf, attb, attf, small_mask
+    def __call__(self, x, b, f, mask):
+        q = self.query_conv(x)
+        v = self.value_conv(x)
+        kb = self.key_conv(b)
+        kf = self.key_conv(f)
+        return self.aggregate(q, v, kb, kf, mask)
 
 
 class VMN(nn.Module):
@@ -89,10 +110,28 @@ class VMN(nn.Module):
         feat = self.decoder(enc, train=train, mode="extract")
         return enc, feat
 
+    def encode_extract_qkv(self, images, extras=None, train: bool = False):
+        """:meth:`encode_extract` plus the frame's FAM projections, so the
+        stream caches (q, k, v) instead of raw features and the decode half
+        runs no convolutions before the attention (the key projection would
+        otherwise be recomputed for every window the frame neighbors)."""
+        enc, feat = self.encode_extract(images, extras, train)
+        q, k, v = self.fam.qkv(feat)
+        return enc, {"q": q, "k": k, "v": v}
+
     def decode_window(self, enc_c, x_c, x_b, x_f, mask, train: bool = False):
         """Center-frame half: FAM over (prev, cur, next) cached features +
         decoder head. Returns (pred, attb, attf, small_mask)."""
         agg, attb, attf, small_mask = self.fam(x_c, x_b, x_f, mask)
+        pred = self.decoder(enc_c, train=train, mode="head", x=agg)
+        return pred, attb, attf, small_mask
+
+    def decode_window_qkv(self, enc_c, qkv_c, k_b, k_f, mask,
+                          train: bool = False):
+        """:meth:`decode_window` from cached projections (see
+        :meth:`encode_extract_qkv`)."""
+        agg, attb, attf, small_mask = self.fam.aggregate(
+            qkv_c["q"], qkv_c["v"], k_b, k_f, mask)
         pred = self.decoder(enc_c, train=train, mode="head", x=agg)
         return pred, attb, attf, small_mask
 

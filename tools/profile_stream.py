@@ -88,7 +88,7 @@ def main():
     # --- whole-step pieces ---------------------------------------------
     t_enc, frame = timeit(lambda: sp._encode(sp.variables, img, tri),
                           iters=args.iters)
-    t_dec, _ = timeit(lambda: sp._decode(sp.variables, frame, frame, frame),
+    t_dec, _ = timeit(lambda: sp._run_decode(frame, frame, frame),
                       iters=args.iters)
     report["encode_ms"] = round(t_enc, 3)
     report["decode_ms"] = round(t_dec, 3)
@@ -134,7 +134,7 @@ def main():
         return module.apply(v, f, f, f, m,
                             method=lambda mod, x, xb, xf, mk: mod.fam(
                                 x, xb, xf, mk))
-    t_fam, _ = timeit(jax.jit(fam_fn), sp.variables, frame["feat"],
+    t_fam, _ = timeit(jax.jit(fam_fn), sp.variables, frame["q"],
                       frame["trimask"], iters=args.iters)
     report["decode/fam_ms"] = round(t_fam, 3)
 
@@ -147,7 +147,7 @@ def main():
         with jax.profiler.trace(args.trace_dir):
             for _ in range(5):
                 frame = sp._encode(sp.variables, img, tri)
-                out = sp._decode(sp.variables, frame, frame, frame)
+                out = sp._run_decode(frame, frame, frame)
             jax.block_until_ready(out)
         print(f"trace written to {args.trace_dir}")
 
