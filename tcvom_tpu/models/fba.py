@@ -150,85 +150,111 @@ def _stage_b_slow(h4, skip2, w3, b3):
     return sp.conv2d(h, w3, padding=1) + b3
 
 
-def _fba_tail_fast(h4, skip2, ex1, p):
-    """Subpixel re-layout of the same arithmetic (see ops/subpixel.py):
-    OS=2/OS=1 stages run block-packed on the half grid with >=128-channel
-    convs, no bilinear-interleave relayouts. Interior-exact; the border
-    ring is stitched from the reference-shaped path by the caller.
-    Measured ~2.2x the reference-shaped tail on v5e at 1080p."""
+def _patch_b_border(b, h4, skip2, w3, b3):
+    """Exact stage-b (conv_up3 pre-GN) values on the 1-pixel packed border
+    ring: the subpixel composite's ring approximates the conv's zero
+    padding, and it must be patched BEFORE the GroupNorm statistics (a
+    wrong ring would contaminate the global mean/var and shift every
+    pixel). Top+bottom and left+right strips run as two batch-2 slow-path
+    chains instead of four batch-1 ones (thin-strip ops are launch-bound)."""
+    n = h4.shape[0]
+    tb = sp.s2d(_stage_b_slow(
+        jnp.concatenate([h4[:, :4], h4[:, -4:]], axis=0),
+        jnp.concatenate([skip2[:, :8], skip2[:, -8:]], axis=0), w3, b3))
+    b = b.at[:, :1].set(tb[:n, :1])
+    b = b.at[:, -1:].set(tb[n:, -1:])
+    lr = sp.s2d(_stage_b_slow(
+        jnp.concatenate([h4[:, :, :4], h4[:, :, -4:]], axis=0),
+        jnp.concatenate([skip2[:, :, :8], skip2[:, :, -8:]], axis=0), w3, b3))
+    b = b.at[:, :, :1].set(lr[:n, :, :1])
+    b = b.at[:, :, -1:].set(lr[n:, :, -1:])
+    return b
+
+
+def _fba_tail_fast16(h4, skip2, ex_parts, p):
+    """16-pack (4x4 block) re-layout of the OS=1 stages: after conv_up3
+    the whole tail lives on the quarter grid with 128-512 channels — every
+    conv is a plain stride-1 NHWC conv (the 2x2-packed form's lhs-dilated
+    composites made XLA materialize 130-140 MB zero-stuffed inputs per
+    conv at 1080p), and the raw-input/image/trimap concat is packed
+    part-wise (``s4d_parts``) instead of materializing the 8-channel
+    full-res tensor (measured 6.1 ms of 16x-lane-padded writes).
+    Interior-exact; border ring stitched by the caller as usual."""
     w3 = ws_standardize(p["w3"])
     cin = h4.shape[-1]
     b = (sp.up_conv(h4, w3[:, :, :cin])
          + sp.conv2d(skip2, sp.stride2_conv_kernel(w3[:, :, cin:]),
                      stride=2, padding=1)
          + sp.tile_bias(p["b3"]))
-    # the composite's 1-px OS=2 border ring approximates the conv's zero
-    # padding; patch it exactly BEFORE the GroupNorm statistics (a wrong
-    # ring would contaminate the global mean/var and shift every pixel)
-    def bstrip(sl4, sl2):
-        return sp.s2d(_stage_b_slow(h4[sl4], skip2[sl2], w3, p["b3"]))
 
-    i = (slice(None),)
-    b = b.at[:, :1].set(bstrip(i + (slice(None, 4),),
-                               i + (slice(None, 8),))[:, :1])
-    b = b.at[:, -1:].set(bstrip(i + (slice(-4, None),),
-                                i + (slice(-8, None),))[:, -1:])
-    j = (slice(None), slice(None))
-    b = b.at[:, :, :1].set(bstrip(j + (slice(None, 4),),
-                                  j + (slice(None, 8),))[:, :, :1])
-    b = b.at[:, :, -1:].set(bstrip(j + (slice(-4, None),),
-                                   j + (slice(-8, None),))[:, :, -1:])
+    b = _patch_b_border(b, h4, skip2, w3, p["b3"])
     gn_stats = sp.group_norm_s2d_stats(b, p["gn_scale"], p["gn_bias"])
     mul4 = jnp.tile(gn_stats[0], (1, 4))[:, None, None, :]
     add4 = jnp.tile(gn_stats[1], (1, 4))[:, None, None, :]
     b = nn.leaky_relu((b.astype(jnp.float32) * mul4 + add4).astype(b.dtype),
                       0.01)                               # rep2[h2]
-    nup = p["w40"].shape[2] - ex1.shape[-1]               # 64 upsampled chans
-    c = (sp.up_conv_packed(b, p["w40"][:, :, :nup])
-         + sp.conv2d(ex1, sp.stride2_conv_kernel(p["w40"][:, :, nup:]),
-                     stride=2, padding=1)
-         + sp.tile_bias(p["b40"]))
-    c = nn.leaky_relu(c, 0.01)                            # rep1[h1]
-    d = nn.leaky_relu(sp.conv2d(c, sp.rep_conv_kernel(p["w41"]), padding=1)
-                      + sp.tile_bias(p["b41"]), 0.01)
-    e = (sp.conv2d(d, sp.rep_1x1_kernel(p["w42"]), padding=0)
-         + sp.tile_bias(p["b42"]))
-    return sp.d2s(e), gn_stats
+
+    nex = sum(t.shape[-1] for t in ex_parts)
+    nup = p["w40"].shape[2] - nex                         # 64 upsampled chans
+    ex16, row_perm = sp.s4d_parts(ex_parts)
+    k_ex = jnp.take(sp.rep16_conv_kernel(p["w40"][:, :, nup:]),
+                    jnp.asarray(row_perm), axis=2)
+    c = (sp.conv2d(b, sp.up_conv_16_kernel(p["w40"][:, :, :nup]), padding=1)
+         + sp.conv2d(ex16, k_ex, padding=1)
+         + sp.tile_bias16(p["b40"]))
+    c = nn.leaky_relu(c, 0.01)                            # rep1[h1], 16-pack
+    d = nn.leaky_relu(sp.conv2d(c, sp.rep16_conv_kernel(p["w41"]), padding=1)
+                      + sp.tile_bias16(p["b41"]), 0.01)
+    e = (sp.conv2d(d, sp.rep16_1x1_kernel(p["w42"]), padding=0)
+         + sp.tile_bias16(p["b42"]))
+    return sp.d4s(e, prefer_reshape=True), gn_stats
 
 
-def _fba_tail(h4, skip2, ex1, p, ring: int = 8, force_fast=None):
+def _fba_tail(h4, skip2, ex_parts, p, ring: int = 8, force_fast=None):
     """Fast tail + exact border ring stitched from the reference-shaped
     path (upsample edge-clamp and conv zero-pad do not commute with the
-    subpixel composition on a <=5px OS=1 ring; ``ring``=8 is margin).
-    GroupNorm strips reuse the full-image statistics."""
+    subpixel composition on a <=7px OS=1 ring; ``ring``=8 is margin).
+    GroupNorm strips reuse the full-image statistics. ``ex_parts`` is the
+    tuple (raw rgb, image, 2ch trimap) — concatenated lazily so the fast
+    path never materializes the thin full-res concat."""
     s4 = (ring + 1) // 4 + 4                              # strip extent, OS=4
     fast_ok = (jax.default_backend() == "tpu" if force_fast is None
                else force_fast)
     fast_ok = (fast_ok and h4.shape[-3] >= 2 * s4
-               and h4.shape[-2] >= 2 * s4)
+               and h4.shape[-2] >= 2 * s4
+               and ex_parts[0].shape[-3] % 4 == 0
+               and ex_parts[0].shape[-2] % 4 == 0)
     if not fast_ok:
+        ex1 = jnp.concatenate(ex_parts, axis=-1)
         return _fba_tail_slow(h4, skip2, ex1, p)
-    out, gn_stats = _fba_tail_fast(h4, skip2, ex1, p)
+    out, gn_stats = _fba_tail_fast16(h4, skip2, ex_parts, p)
     s2, s1, r = 2 * s4, 4 * s4, ring
+    n = h4.shape[0]
+    # opposite-edge strips share a shape — run each pair as one batch-2
+    # slow-path chain (the thin-strip ops are launch-bound, so halving the
+    # op-chain count nearly halves the stitch cost); GN affine reuses the
+    # full-image stats, tiled across the doubled batch
+    gn2 = tuple(jnp.concatenate([g, g], axis=0) for g in gn_stats)
 
-    def strip(sl4, sl2, sl1):
-        return _fba_tail_slow(h4[sl4], skip2[sl2], ex1[sl1], p,
-                              gn_stats=gn_stats)
+    def strips(axis):
+        # strip extents scale 1:2:4 across the OS=4/2/1 operands
+        def cat_sl(t, ext):
+            s = [slice(None)] * 3
+            s[axis] = slice(None, ext)
+            lead = t[tuple(s)]
+            s[axis] = slice(-ext, None)
+            return jnp.concatenate([lead, t[tuple(s)]], axis=0)
+        h4s = cat_sl(h4, s4)
+        skips = cat_sl(skip2, s2)
+        ex1s = jnp.concatenate([cat_sl(t, s1) for t in ex_parts], axis=-1)
+        return _fba_tail_slow(h4s, skips, ex1s, p, gn_stats=gn2)
 
-    i = (slice(None),)
-    top = strip(i + (slice(None, s4),), i + (slice(None, s2),),
-                i + (slice(None, s1),))[:, :r]
-    bot = strip(i + (slice(-s4, None),), i + (slice(-s2, None),),
-                i + (slice(-s1, None),))[:, -r:]
-    j = (slice(None), slice(None))
-    left = strip(j + (slice(None, s4),), j + (slice(None, s2),),
-                 j + (slice(None, s1),))[:, :, :r]
-    right = strip(j + (slice(-s4, None),), j + (slice(-s2, None),),
-                  j + (slice(-s1, None),))[:, :, -r:]
-    out = out.at[:, :r].set(top)
-    out = out.at[:, -r:].set(bot)
-    out = out.at[:, :, :r].set(left)
-    out = out.at[:, :, -r:].set(right)
+    tb = strips(axis=1)
+    out = out.at[:, :r].set(tb[:n, :r])
+    out = out.at[:, -r:].set(tb[n:, -r:])
+    lr = strips(axis=2)
+    out = out.at[:, :, :r].set(lr[:n, :, :r])
+    out = out.at[:, :, -r:].set(lr[n:, :, -r:])
     return out
 
 
@@ -285,15 +311,18 @@ class FBADecoder(nn.Module):
         w3, b3 = RawConvParams(64, 256 + conv_out[-5].shape[-1],
                                kernel_init=he, name="up3_conv")()
         gn_scale, gn_bias = RawNormParams(64, name="up3_bn")()
-        ex1 = jnp.concatenate([conv_out[-6][..., :3], img, two_chan_trimap],
-                              axis=-1)
-        w40, b40 = RawConvParams(32, 64 + ex1.shape[-1], name="up4_0")()
+        # raw rgb + image + 2ch trimap stay separate tensors — the fast
+        # tail packs them part-wise (s4d_parts); only the slow path and
+        # the border strips concatenate (thin slices)
+        ex_parts = (conv_out[-6][..., :3], img, two_chan_trimap)
+        nex = sum(t.shape[-1] for t in ex_parts)
+        w40, b40 = RawConvParams(32, 64 + nex, name="up4_0")()
         w41, b41 = RawConvParams(16, 32, name="up4_1")()
         w42, b42 = RawConvParams(7, 16, kernel_size=(1, 1), name="up4_2")()
         p = dict(w3=w3, b3=b3, gn_scale=gn_scale, gn_bias=gn_bias,
                  w40=w40, b40=b40, w41=w41, b41=b41, w42=w42, b42=b42)
 
-        out = _fba_tail(h4, conv_out[-5], ex1, p)
+        out = _fba_tail(h4, conv_out[-5], ex_parts, p)
 
         # the closed-form consistency solve runs in f32 regardless of the
         # network dtype: it is a handful of elementwise ops at OS=1

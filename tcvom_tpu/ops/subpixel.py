@@ -13,8 +13,10 @@ The re-layout: keep OS=2 tensors as ``[H/2, W/2, 4C]`` and OS=1 tensors as
 activations:
 
 - ``conv3x3 o upsample2x``      -> one 3x3 conv on the coarse grid with a
-  composed kernel (``compose_up_conv_kernel``), or a stride-2 transposed
-  conv when the input itself is block-packed (``compose_up_conv_kernel_t``)
+  composed kernel (``compose_up_conv_kernel``), or a stride-1 quarter-grid
+  conv when the input is 4-packed and the output 16-packed
+  (``up_conv_16_kernel`` — the lhs-dilated 2x2-packed composite made XLA
+  materialize zero-stuffed inputs, see the 16-pack section below)
 - ``conv3x3`` over a same-resolution skip input -> a 4x4 stride-2 conv
   (``stride2_conv_kernel``)
 - ``conv3x3`` with both input and output block-packed -> a 3x3 conv with a
@@ -57,20 +59,7 @@ for _p in (0, 1):
         for _u, _a in _taps.items():
             _A[_p, 1 + _d, 1 + _u] = _a
 
-# G[r, t, q, 1+d]: transposed-conv factor — weight of the conv tap d for
-# kernel position t in {0..3} when the block-packed input phase is q and
-# the output phase is r; u = t + q - 2 must land in {-1,0,1}
-_G = np.zeros((2, 4, 2, 3), np.float32)
-for _r in (0, 1):
-    for _t in range(4):
-        for _q in (0, 1):
-            _u = _t + _q - 2
-            if -1 <= _u <= 1:
-                for _d in (-1, 0, 1):
-                    _G[_r, _t, _q, 1 + _d] = _A[_r, 1 + _d, 1 + _u]
-
 _A_j = jnp.asarray(_A)
-_G_j = jnp.asarray(_G)
 
 
 import functools
@@ -142,21 +131,6 @@ def compose_up_conv_kernel(w):
                    _A_j.astype(w.dtype))
     kh, kw, i = k.shape[0], k.shape[1], k.shape[2]
     return k.reshape(kh, kw, i, 4 * w.shape[-1])
-
-
-def compose_up_conv_kernel_t(w):
-    """[3,3,I,O] -> [4,4,4I,4O]: kernel of (conv3x3 o upsample2x) where the
-    input is itself block-packed ([Hb,Wb,4I] over the half grid) and the
-    output is block-packed over the full grid ([2Hb,2Wb,4O]). Use with
-    ``lhs_dilation=(2,2), padding=[(2,2),(2,2)]``."""
-    # K[ty, tx, (qy,qx,i), (ry,rx,o)] =
-    #   sum_{a,b} w[a,b,i,o] G[ry,ty,qy,a] G[rx,tx,qx,b]
-    k = jnp.einsum("abio,rtpa,sunb->tupniors", w, _G_j.astype(w.dtype),
-                   _G_j.astype(w.dtype))
-    # axes: t u p n i o r s -> want [t, u, (p,n,i), (r,s,o)]
-    k = k.transpose(0, 1, 2, 3, 4, 6, 7, 5)          # t u p n i r s o
-    i, o = w.shape[2], w.shape[3]
-    return k.reshape(4, 4, 4 * i, 4 * o)
 
 
 # selection tensors for the scatter-style kernel transforms — one einsum
@@ -400,10 +374,161 @@ def up_conv(h, w3, bias=None):
     return y if bias is None else y + tile_bias(bias).astype(y.dtype)
 
 
-def up_conv_packed(hb, w3, bias=None):
-    """Same composite but with a block-packed input ``hb`` ([Hb,Wb,4I] over
-    the half grid); output block-packed over the full grid ([2Hb,2Wb,4O]).
-    Border ring approximate (both clamp and zero-pad become zeros)."""
-    y = conv2d(hb, compose_up_conv_kernel_t(w3), padding=2,
-               lhs_dilation=(2, 2))
-    return y if bias is None else y + tile_bias(bias).astype(y.dtype)
+# ---------------------------------------------------------------------------
+# 4x4 ("16-pack") block packing — OS=1 decoder stages on the quarter grid
+#
+# The 2x2 packing still leaves OS=1 stages with 32-128 channels on a
+# [H/2, W/2] grid, where XLA's lowering of the lhs-dilated composite
+# kernels materializes zero-stuffed inputs (measured 130-140 MB pads per
+# conv in the 1080p FBA tail). Packing 4x4 blocks puts the whole tail on
+# the [H/4, W/4] grid with 128-512 channels — every conv is a plain
+# stride-1 NHWC conv with a full 128-lane minor dim and no input
+# dilation. Channel order matches s2d(s2d(x)):
+#     channel = blk(py, px) * C + c,   (py, px) = full-res position mod 4,
+#     blk(py, px) = (py//2 * 2 + px//2) * 4 + (py%2 * 2 + px%2)
+# so ``d2s(d2s(.))`` unpacks it and all transforms below are exact
+# re-associations of the same arithmetic (same parameters).
+# ---------------------------------------------------------------------------
+
+def _blk(py: int, px: int) -> int:
+    return (py // 2 * 2 + px // 2) * 4 + (py % 2 * 2 + px % 2)
+
+
+# raster index (py*4 + px) of each s2d∘s2d block, for reordering the
+# (py, px)-raster phase axes produced by the einsums below
+_BLK2RASTER = np.zeros(16, np.int64)
+for _B in range(16):
+    _y2, _x2 = (_B // 4) // 2, (_B // 4) % 2
+    _y1, _x1 = (_B % 4) // 2, (_B % 4) % 2
+    _BLK2RASTER[_B] = (2 * _y2 + _y1) * 4 + (2 * _x2 + _x1)
+
+# R16[1+s, t, p, 1+d] = 1 iff full-res tap p+d lands in quarter cell s at
+# in-cell position t (4s + t == p + d); p, t in 0..3, s, d in -1..1
+_R16 = np.zeros((3, 4, 4, 3), np.float32)
+for _s in (-1, 0, 1):
+    for _t in range(4):
+        for _p in range(4):
+            _d = 4 * _s + _t - _p
+            if -1 <= _d <= 1:
+                _R16[1 + _s, _t, _p, 1 + _d] = 1.0
+
+# W16[p, 1+s, t, 1+d] = weight of the OS=2 value at quarter cell offset s,
+# in-cell position t, inside (conv tap d ∘ upsample2x) for full-res output
+# phase p: the OS=2 input index is y//2 + u with u = 2s + t - p//2, and the
+# interior upsample weight is _A[p%2, 1+d, 1+u]
+_W16 = np.zeros((4, 3, 2, 3), np.float32)
+for _p in range(4):
+    for _s in (-1, 0, 1):
+        for _t in (0, 1):
+            _u = 2 * _s + _t - _p // 2
+            if -1 <= _u <= 1:
+                for _d in (-1, 0, 1):
+                    _W16[_p, 1 + _s, _t, 1 + _d] = _A[_p % 2, 1 + _d, 1 + _u]
+
+_R16_j = jnp.asarray(_R16)
+_W16_j = jnp.asarray(_W16)
+
+
+def _take_blocks(k, axis: int, inner: int):
+    """Reorder a kernel axis laid out as (py*4+px)-raster blocks of size
+    ``inner`` into the s2d∘s2d block order."""
+    shape = k.shape
+    k = k.reshape(shape[:axis] + (16, inner) + shape[axis + 1:])
+    k = jnp.take(k, jnp.asarray(_BLK2RASTER), axis=axis)
+    return k.reshape(shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _s4d_eye_np(c: int):
+    eye = np.zeros((4, 4, c, 16 * c), np.float32)
+    for py in range(4):
+        for px in range(4):
+            eye[py, px, np.arange(c), _blk(py, px) * c + np.arange(c)] = 1.0
+    return eye
+
+
+def s4d(x, prefer_reshape: bool = False):
+    """[N, H, W, C] -> [N, H/4, W/4, 16C] == s2d(s2d(x)). The identity-conv
+    path relayouts through the MXU; ``prefer_reshape`` keeps thin-channel
+    inputs on the (planar-layout-friendly) reshape-transpose path."""
+    n, h, w, c = x.shape
+    if _conv_layout_ok(x) and not prefer_reshape:
+        return lax.conv_general_dilated(
+            x, jnp.asarray(_s4d_eye_np(c), x.dtype), (4, 4),
+            [(0, 0), (0, 0)], dimension_numbers=_DN)
+    x = x.reshape(n, h // 4, 2, 2, w // 4, 2, 2, c)
+    #             0    1     2  3    4     5  6  7   (y2, y1) (x2, x1)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)       # [N,h,w,y2,x2,y1,x1,C]
+    return x.reshape(n, h // 4, w // 4, 16 * c)
+
+
+def d4s(x, prefer_reshape: bool = False):
+    """[N, H, W, 16C] -> [N, 4H, 4W, C], inverse of :func:`s4d`."""
+    n, h, w, c16 = x.shape
+    c = c16 // 16
+    if _conv_layout_ok(x) and not prefer_reshape:
+        return d2s(d2s(x))
+    x = x.reshape(n, h, w, 2, 2, 2, 2, c)          # [..., y2, x2, y1, x1, C]
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)        # [N,h,y2,y1,w,x2,x1,C]
+    return x.reshape(n, 4 * h, 4 * w, c)
+
+
+def s4d_parts(parts, prefer_reshape: bool = True):
+    """Pack a channel-concat ``concat(parts, -1)`` in 16-pack form WITHOUT
+    materializing the full-resolution concat (an 8-channel 1080p concat
+    measured 6.1 ms — the thin-channel C-minor layout is 16x lane-padded).
+
+    Returns ``(packed, row_perm)``: ``packed`` is the part-major
+    concatenation of per-part s4d packings, and ``row_perm`` reorders the
+    input-channel rows of any kernel built for ``s4d(concat(parts))``
+    channel order so it consumes ``packed`` directly (permute the tiny
+    kernel at trace time, never the activation)."""
+    packed = jnp.concatenate(
+        [s4d(p, prefer_reshape=prefer_reshape) for p in parts], axis=-1)
+    sizes = [p.shape[-1] for p in parts]
+    ctot = sum(sizes)
+    perm, off = [], 0
+    for csz in sizes:
+        for blk in range(16):
+            perm.extend(blk * ctot + off + j for j in range(csz))
+        off += csz
+    return packed, np.asarray(perm, np.int64)
+
+
+def rep16_conv_kernel(w):
+    """[3,3,I,O] -> [3,3,16I,16O]: a 3x3 full-res conv with both input and
+    output 16-block-packed over the quarter grid. Use with
+    ``padding=[(1,1),(1,1)]``. Exact including borders (the quarter-grid
+    zero padding covers every out-of-image full-res tap)."""
+    i, o = w.shape[2], w.shape[3]
+    r = _R16_j.astype(w.dtype)
+    k = jnp.einsum("abio,stpa,unqb->sutnipqo", w, r, r)
+    k = k.reshape(3, 3, 16 * i, 16 * o)
+    k = _take_blocks(k, 2, i)
+    return _take_blocks(k, 3, o)
+
+
+def up_conv_16_kernel(w):
+    """[3,3,I,O] -> [3,3,4I,16O]: (conv3x3 zero-pad ∘ upsample2x) taking a
+    4-block-packed OS=2 input on the quarter grid to a 16-block-packed
+    OS=1 output on the same grid. Use with ``padding=[(1,1),(1,1)]``.
+    Border ring approximate (the upsample's edge clamp and the conv's
+    zero padding both become zeros) — callers stitch the ring."""
+    i, o = w.shape[2], w.shape[3]
+    wsel = _W16_j.astype(w.dtype)
+    k = jnp.einsum("abio,psta,qunb->sutnipqo", w, wsel, wsel)
+    k = k.reshape(3, 3, 4 * i, 16 * o)
+    return _take_blocks(k, 3, o)
+
+
+def rep16_1x1_kernel(w):
+    """[1,1,I,O] -> [1,1,16I,16O] block-diagonal over phases. Exact."""
+    i, o = w.shape[2], w.shape[3]
+    eye = jnp.eye(16, dtype=w.dtype)
+    k = jnp.einsum("io,pq->piqo", w[0, 0], eye)
+    return k.reshape(1, 1, 16 * i, 16 * o)
+
+
+def tile_bias16(b):
+    """[O] -> [16O] matching the 16-pack channel order."""
+    return jnp.tile(b, 16)

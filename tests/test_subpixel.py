@@ -38,16 +38,6 @@ def test_up_conv_matches_reference_interior(rng):
     assert np.abs(got - want).max() > 0 or True
 
 
-def test_up_conv_packed_matches_reference_interior(rng):
-    h2 = jnp.asarray(rng.randn(1, 6, 8, 5).astype(np.float32))
-    w = jnp.asarray(rng.randn(3, 3, 5, 4).astype(np.float32))
-    want = np.asarray(_conv3x3(_up2x(h2), w))
-    got = np.asarray(sp.d2s(sp.up_conv_packed(sp.s2d(h2), w)))
-    assert got.shape == want.shape
-    np.testing.assert_allclose(got[:, 2:-2, 2:-2], want[:, 2:-2, 2:-2],
-                               atol=1e-5)
-
-
 def test_stride2_conv_kernel_exact_everywhere(rng):
     x = jnp.asarray(rng.randn(1, 12, 16, 5).astype(np.float32))
     w = jnp.asarray(rng.randn(3, 3, 5, 4).astype(np.float32))
@@ -103,9 +93,12 @@ def test_fba_tail_fast_matches_slow_with_stitching(rng):
     everywhere — borders included."""
     from tcvom_tpu.models.fba import _fba_tail
 
-    h4 = jnp.asarray(rng.randn(1, 16, 24, 256).astype(np.float32))
-    skip2 = jnp.asarray(rng.randn(1, 32, 48, 64).astype(np.float32))
-    ex1 = jnp.asarray(rng.randn(1, 64, 96, 8).astype(np.float32))
+    # batch 2 exercises the batched opposite-edge strip chains (each pair
+    # of strips runs as one batch-2N slow-path call with per-sample GN)
+    h4 = jnp.asarray(rng.randn(2, 16, 24, 256).astype(np.float32))
+    skip2 = jnp.asarray(rng.randn(2, 32, 48, 64).astype(np.float32))
+    ex_parts = tuple(jnp.asarray(rng.randn(2, 64, 96, c).astype(np.float32))
+                     for c in (3, 3, 2))
     p = dict(
         w3=jnp.asarray(rng.randn(3, 3, 320, 64).astype(np.float32)) * 0.1,
         b3=jnp.asarray(rng.randn(64).astype(np.float32)) * 0.1,
@@ -118,9 +111,9 @@ def test_fba_tail_fast_matches_slow_with_stitching(rng):
         w42=jnp.asarray(rng.randn(1, 1, 16, 7).astype(np.float32)) * 0.1,
         b42=jnp.asarray(rng.randn(7).astype(np.float32) * 0.1),
     )
-    want = np.asarray(_fba_tail(h4, skip2, ex1, p, force_fast=False))
-    got = np.asarray(_fba_tail(h4, skip2, ex1, p, force_fast=True))
-    assert got.shape == want.shape == (1, 64, 96, 7)
+    want = np.asarray(_fba_tail(h4, skip2, ex_parts, p, force_fast=False))
+    got = np.asarray(_fba_tail(h4, skip2, ex_parts, p, force_fast=True))
+    assert got.shape == want.shape == (2, 64, 96, 7)
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
@@ -255,3 +248,72 @@ def test_gca_packed_paths_match_direct(rng, monkeypatch):
     monkeypatch.setattr(fam_pallas, "_choose_impl", lambda *a: "xla")
     got = np.asarray(module.apply(variables, x, masks, train=False)[0])
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# 16-pack (4x4 block) primitives
+# ---------------------------------------------------------------------------
+
+def test_s4d_matches_double_s2d_and_roundtrip(rng):
+    x = jnp.asarray(rng.randn(2, 8, 12, 3).astype(np.float32))
+    got = np.asarray(sp.s4d(x))
+    want = np.asarray(sp.s2d(sp.s2d(x)))
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(np.asarray(sp.d4s(sp.s4d(x))),
+                                  np.asarray(x))
+    # the forced-reshape path is the same permutation
+    np.testing.assert_array_equal(np.asarray(sp.s4d(x, prefer_reshape=True)),
+                                  want)
+    np.testing.assert_array_equal(
+        np.asarray(sp.d4s(sp.s4d(x), prefer_reshape=True)), np.asarray(x))
+
+
+def test_rep16_conv_kernel_exact_everywhere(rng):
+    x = jnp.asarray(rng.randn(1, 12, 16, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 5, 4).astype(np.float32))
+    want = np.asarray(_conv3x3(x, w))
+    got = np.asarray(sp.d4s(sp.conv2d(sp.s4d(x), sp.rep16_conv_kernel(w),
+                                      padding=1)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_up_conv_16_kernel_matches_reference_interior(rng):
+    h2 = jnp.asarray(rng.randn(1, 8, 12, 5).astype(np.float32))   # OS=2
+    w = jnp.asarray(rng.randn(3, 3, 5, 4).astype(np.float32))
+    want = np.asarray(_conv3x3(_up2x(h2), w))                     # OS=1
+    got = np.asarray(sp.d4s(sp.conv2d(sp.s2d(h2), sp.up_conv_16_kernel(w),
+                                      padding=1)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got[:, 4:-4, 4:-4], want[:, 4:-4, 4:-4],
+                               atol=1e-5)
+
+
+def test_rep16_1x1_kernel_exact(rng):
+    x = jnp.asarray(rng.randn(1, 8, 12, 5).astype(np.float32))
+    w = jnp.asarray(rng.randn(1, 1, 5, 7).astype(np.float32))
+    want = np.asarray(sp.conv2d(x, w))
+    got = np.asarray(sp.d4s(sp.conv2d(sp.s4d(x), sp.rep16_1x1_kernel(w))))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_s4d_parts_kernel_row_perm(rng):
+    """Part-major packing + kernel row permutation == s4d of the concat."""
+    a = jnp.asarray(rng.randn(1, 12, 16, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(1, 12, 16, 3).astype(np.float32))
+    c = jnp.asarray(rng.randn(1, 12, 16, 2).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 4).astype(np.float32))
+    full = jnp.concatenate([a, b, c], axis=-1)
+    want = np.asarray(sp.conv2d(sp.s4d(full), sp.rep16_conv_kernel(w),
+                                padding=1))
+    packed, row_perm = sp.s4d_parts([a, b, c])
+    k = jnp.take(sp.rep16_conv_kernel(w), jnp.asarray(row_perm), axis=2)
+    got = np.asarray(sp.conv2d(packed, k, padding=1))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_tile_bias16_order(rng):
+    x = jnp.asarray(rng.randn(1, 8, 12, 5).astype(np.float32))
+    bias = jnp.asarray(rng.randn(5).astype(np.float32))
+    want = np.asarray(x + bias)
+    got = np.asarray(sp.d4s(sp.s4d(x) + sp.tile_bias16(bias)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
