@@ -20,6 +20,22 @@ def test_edt_matches_opencv(rng):
     np.testing.assert_allclose(got, want, atol=1e-2, rtol=1e-4)
 
 
+def test_edt_truncated_semantics(rng):
+    """Truncated EDT (column pass truncated too): exact wherever the true
+    distance is <= truncate, and >= truncate^2 everywhere else — on a grid
+    tall/wide enough that both passes actually hit their radius caps."""
+    h, w, t = 300, 360, 64
+    seed = np.zeros((h, w), bool)
+    seed[10, 20] = seed[250, 300] = seed[140, 10] = True
+    src = np.uint8((~seed) * 255)
+    want = cv2.distanceTransform(src, cv2.DIST_L2, 0).astype(np.float64) ** 2
+    got = np.asarray(D.edt_squared(jnp.asarray(seed), chunk=t, truncate=t))
+    inside = want <= t ** 2
+    np.testing.assert_allclose(got[inside], want[inside], atol=1e-2,
+                               rtol=1e-4)
+    assert np.all(got[~inside] >= t ** 2 * (1 - 1e-6))
+
+
 def test_edt_empty_seed():
     seed = np.zeros((16, 16), bool)
     got = np.asarray(D.edt_squared(jnp.asarray(seed)))
