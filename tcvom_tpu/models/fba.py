@@ -107,6 +107,10 @@ class _PPM(nn.Module):
 
     @nn.compact
     def __call__(self, conv5, train: bool = False):
+        """Returns the branch list (conv5 + 4 upsampled pool branches)
+        UNCONCATENATED — the consumer folds the concat into its conv as a
+        sum of per-part convs (the [H/8, W/8, 3072] concat measured a
+        ~200 MB materialization + a same-sized relayout copy at 1080p)."""
         size = conv5.shape[-3:-1]
         outs = [conv5]
         for i, s in enumerate(self.scales):
@@ -114,7 +118,7 @@ class _PPM(nn.Module):
             p = WSConv(256, 1, use_bias=True, name=f"pool{i}_conv")(p)
             p = nn.leaky_relu(GroupNorm32(name=f"pool{i}_bn")(p), 0.01)
             outs.append(resize_bilinear(p, size, align_corners=False))
-        return jnp.concatenate(outs, axis=-1)
+        return outs
 
 
 def _fba_tail_slow(h4, skip2, ex1, p, gn_stats=None):
@@ -291,23 +295,42 @@ class FBADecoder(nn.Module):
         else:
             img, two_chan_trimap = enc["img"], enc["two_chan_trimap"]
 
+        he = nn.initializers.he_normal()
+
         def conv_gn_lrelu(h, feat, name):
             h = WSConv(feat, 3, padding=1, use_bias=True, name=f"{name}_conv")(h)
             return nn.leaky_relu(GroupNorm32(name=f"{name}_bn")(h), 0.01)
 
+        def split_conv_gn_lrelu(parts, feat, name):
+            # conv(concat(parts)) == sum of per-part convs with the kernel
+            # sliced along its input axis — the concat never materializes.
+            # Weight standardization runs on the FULL kernel first (the
+            # reference normalizes over all 3x3xCin taps). Same params,
+            # same init draws (path and shape unchanged vs WSConv).
+            cin = sum(t.shape[-1] for t in parts)
+            w, bb = RawConvParams(feat, cin, kernel_init=he,
+                                  name=f"{name}_conv")()
+            wss = ws_standardize(w)
+            y, off = None, 0
+            for t in parts:
+                c = t.shape[-1]
+                yi = sp.conv2d(t, wss[:, :, off:off + c].astype(t.dtype),
+                               padding=1)
+                y = yi if y is None else y + yi
+                off += c
+            y = y + bb.astype(y.dtype)
+            return nn.leaky_relu(GroupNorm32(name=f"{name}_bn")(y), 0.01)
+
         if mode in ("full", "extract"):
-            ppm = _PPM(name="ppm")(conv_out[-1], train)
-            h = conv_gn_lrelu(ppm, 256, "up1_0")
+            ppm_parts = _PPM(name="ppm")(conv_out[-1], train)
+            h = split_conv_gn_lrelu(ppm_parts, 256, "up1_0")
             h = conv_gn_lrelu(h, 256, "up1_1")            # conv_up1, OS=8
             if mode == "extract":
                 return h
             x = h
 
         h = resize_bilinear(x, (x.shape[-3] * 2, x.shape[-2] * 2), align_corners=False)
-        h = jnp.concatenate([h, conv_out[-4]], axis=-1)   # + OS=4 (256)
-        h4 = conv_gn_lrelu(h, 256, "up2")
-
-        he = nn.initializers.he_normal()
+        h4 = split_conv_gn_lrelu([h, conv_out[-4]], 256, "up2")  # + OS=4 (256)
         w3, b3 = RawConvParams(64, 256 + conv_out[-5].shape[-1],
                                kernel_init=he, name="up3_conv")()
         gn_scale, gn_bias = RawNormParams(64, name="up3_bn")()
