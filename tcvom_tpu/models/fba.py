@@ -267,8 +267,10 @@ class FBADecoder(nn.Module):
     after conv_up1 for VMN (reference models/VMN/VMN_FBA.py).
 
     The conv_up3/conv_up4 tail runs in the subpixel re-layout on TPU
-    (:mod:`tcvom_tpu.ops.subpixel`) — identical parameters, identical math,
-    ~2.2x faster at 1080p; other backends take the reference-shaped path.
+    (:mod:`tcvom_tpu.ops.subpixel`): OS=2 stages 4-packed, OS=1 stages
+    16-packed on the quarter grid — identical parameters, identical math;
+    other backends take the reference-shaped path. The PPM and skip
+    concats are folded into their convs as per-part kernel slices.
     """
 
     fam_channels: int = 256   # FAM width at the OS=8 split (VMN)
