@@ -164,6 +164,56 @@ def test_pred_single_adobe(tmp_path):
             (i, pred.shape)
 
 
+def test_pred_test_wild_folders(tmp_path):
+    """Wild-video inference from real trimaps (reference pred_test.py):
+    a root of per-video folders of NNNNN_rgb.png / NNNNN_trimap.png at a
+    non-/32 size -> pred_test with a positional video selection and
+    --dilation writes save/<video>/NNNNN_alpha.png at the original size."""
+    import cv2
+    rng = np.random.RandomState(0)
+    h, w = 70, 90                       # forces the pad-to-32 path
+    root = tmp_path / "wild"
+    for v in ("clipA", "clipB"):
+        d = root / v
+        os.makedirs(d)
+        for i in range(3):
+            cv2.imwrite(str(d / f"{i:05d}_rgb.png"),
+                        rng.randint(0, 256, (h, w, 3), dtype=np.uint8))
+            tri = np.zeros((h, w), np.uint8)
+            tri[20:50, 30:70] = 128
+            tri[30:40, 40:60] = 255
+            cv2.imwrite(str(d / f"{i:05d}_trimap.png"), tri)
+
+    import jax
+    import jax.numpy as jnp
+    from tcvom_tpu.models.full_model import TaskConfig
+    from tcvom_tpu.train.trainer import MattingTrainer
+    from tcvom_tpu.utils.checkpoint import save_checkpoint
+    trainer = MattingTrainer(TaskConfig(model="vmn_dim", agg_window=3),
+                             "vmd")
+    init_batch = {k: jnp.zeros((1, 3, 64, 64, c), jnp.float32)
+                  for k, c in (("a", 1), ("fg", 3), ("bg", 3))}
+    state = trainer.init_state(jax.random.PRNGKey(0), init_batch)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, {"params": state.params,
+                           "model_state": state.model_state})
+
+    save = str(tmp_path / "out")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "pred_test.py"),
+         "--model", "dim", "--vmn", "--load", ckpt, "--data", str(root),
+         "--save", save, "--agg_window", "3", "--dilation", "3", "clipA"],
+        env=ENV, capture_output=True, text=True, timeout=3000)
+    assert r.returncode == 0, r.stderr[-3000:]
+    for i in range(3):
+        a = cv2.imread(os.path.join(save, "clipA", f"{i:05d}_alpha.png"),
+                       cv2.IMREAD_GRAYSCALE)
+        assert a is not None and a.shape == (h, w), (i, None if a is None
+                                                     else a.shape)
+    # the positional selection must exclude clipB
+    assert not os.path.exists(os.path.join(save, "clipB"))
+
+
 @pytest.mark.slow
 def test_pretrain_dim_e2e(tmp_path):
     """TAM-pretrain driver end-to-end on synthetic Adobe stills (reference

@@ -27,21 +27,47 @@ def parse_args():
     p.add_argument("--vmn", action="store_true",
                    help="use the VMN temporal model (default single-frame)")
     p.add_argument("--load", required=True)
-    p.add_argument("--data", required=True, help="input folder")
+    p.add_argument("--data", required=True,
+                   help="a frame folder, or a root of per-video folders")
     p.add_argument("--save", required=True, help="output folder")
     p.add_argument("--agg_window", type=int, default=7)
+    p.add_argument("--dilation", type=int, default=None,
+                   help="extra unknown-region dilation radius applied to "
+                        "the provided trimaps (reference pred_test.py:149; "
+                        "the reference's dilate_kernel is a radius, "
+                        "models/model.py:62-64)")
+    p.add_argument("videos", nargs="*",
+                   help="video subfolders of --data to process (default: "
+                        "all, or --data itself if it holds frames directly)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     name = ("vmn_" + args.model) if args.vmn else args.model
-    cfg = TaskConfig(model=name, agg_window=args.agg_window)
+    cfg = TaskConfig(model=name, agg_window=args.agg_window,
+                     dilate_radius=args.dilation)
     module = registry.build_model(name, agg_window=args.agg_window)
+
+    # multi-video root (reference pred_test.py:19-29): outputs go to
+    # save/<video>/; a folder holding *_rgb.png directly is a single run
+    import glob
+    if args.videos:
+        runs = [(os.path.join(args.data, v), os.path.join(args.save, v))
+                for v in args.videos]
+    elif glob.glob(os.path.join(args.data, "*_rgb.png")):
+        runs = [(args.data, args.save)]
+    else:
+        vids = sorted(d for d in os.listdir(args.data)
+                      if os.path.isdir(os.path.join(args.data, d)))
+        runs = [(os.path.join(args.data, v), os.path.join(args.save, v))
+                for v in vids]
+    if not runs:
+        raise SystemExit(f"no videos found under {args.data}")
 
     # init with a probe sample to get variable structure
     from tcvom_tpu.infer.predict import TestFolder
-    probe = TestFolder(args.data)[0]
+    probe = TestFolder(runs[0][0])[0]
     b = {"a": jnp.zeros((1, 3) + tuple(probe["imgs"].shape[1:3]) + (1,)),
          "fg": jnp.zeros((1, 3) + tuple(probe["imgs"].shape[1:3]) + (3,)),
          "bg": jnp.zeros((1, 3) + tuple(probe["imgs"].shape[1:3]) + (3,))}
@@ -49,8 +75,10 @@ def main():
     state = trainer.init_state(jax.random.PRNGKey(0), b)
     variables, _, _ = load_weights(name, state.variables, args.load)
 
-    predict_test_folder(module, variables, cfg, args.data, args.save,
-                        progress=lambda i, n: print(f"{i + 1}/{n}"))
+    for in_dir, out_dir in runs:
+        print(f"== {in_dir} -> {out_dir}")
+        predict_test_folder(module, variables, cfg, in_dir, out_dir,
+                            progress=lambda i, n: print(f"{i + 1}/{n}"))
 
 
 if __name__ == "__main__":

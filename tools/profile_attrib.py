@@ -49,14 +49,15 @@ PEAK_TFLOPS_BF16 = 197.0
 PEAK_GBS = 819.0
 
 
-def capture_trace(dtype_name: str, steps: int, trace_dir: str, model: str):
+def capture_trace(dtype_name: str, steps: int, trace_dir: str, model: str,
+                  hw=(1088, 1920)):
     from tcvom_tpu.infer.predict import StreamingPredictor
     from tcvom_tpu.models import full_model as FM
     from tcvom_tpu.models import registry
 
     cfg = FM.TaskConfig(model=model, agg_window=7)
     module = registry.build_model(model, agg_window=7)
-    b, s, h, w = 1, 3, 1088, 1920
+    b, s, (h, w) = 1, 3, hw
     x = jnp.zeros((b, s, h, w, 3 + cfg.trimap_channels), jnp.float32)
     masks = jnp.ones((b, s, h, w, 1), jnp.float32)
     extras = (jnp.zeros((b, s, h, w, 3)), jnp.zeros((b, s, h, w, 2)))
@@ -68,8 +69,8 @@ def capture_trace(dtype_name: str, steps: int, trace_dir: str, model: str):
     img = jax.device_put(jnp.asarray(
         rng.randint(0, 256, (b, h, w, 3)).astype(np.float32)))
     tri = np.zeros((b, h, w, 1), np.float32)
-    tri[:, 300:800, 500:1400] = 128.0
-    tri[:, 450:650, 700:1200] = 255.0
+    tri[:, int(.28 * h):int(.74 * h), int(.26 * w):int(.73 * w)] = 128.0
+    tri[:, int(.41 * h):int(.60 * h), int(.36 * w):int(.63 * w)] = 255.0
     tri = jax.device_put(jnp.asarray(tri))
 
     dtype = jnp.bfloat16 if dtype_name == "bf16" else None
@@ -212,6 +213,8 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     ap.add_argument("--model", default="vmn_fba")
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--hw", type=int, nargs=2, default=(1088, 1920),
+                    help="frame size (small values smoke-test on CPU)")
     ap.add_argument("--trace_dir", default=None)
     ap.add_argument("--parse_only", action="store_true",
                     help="skip capture; parse an existing --trace_dir")
@@ -220,7 +223,8 @@ def main():
 
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="tpu_attrib_")
     if not args.parse_only:
-        capture_trace(args.dtype, args.steps, trace_dir, args.model)
+        capture_trace(args.dtype, args.steps, trace_dir, args.model,
+                      hw=tuple(args.hw))
     report = parse_xplane(trace_dir, args.steps, args.dtype)
     report["model"] = args.model
     print(json.dumps(report, indent=1))
