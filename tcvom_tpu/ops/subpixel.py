@@ -473,10 +473,15 @@ def d4s(x, prefer_reshape: bool = False):
     return x.reshape(n, 4 * h, 4 * w, c)
 
 
-def s4d_parts(parts, prefer_reshape: bool = True):
+def s4d_parts(parts, prefer_reshape: bool = False):
     """Pack a channel-concat ``concat(parts, -1)`` in 16-pack form WITHOUT
     materializing the full-resolution concat (an 8-channel 1080p concat
     measured 6.1 ms — the thin-channel C-minor layout is 16x lane-padded).
+
+    Packing goes through the MXU identity conv where the layout allows
+    (bf16 on TPU): the reshape-transpose path runs at ~5 GB/s on thin
+    full-res tensors (measured 6.7/4.3 ms per 3/2-channel 1080p part vs
+    1.6/1.0 ms for the identity conv — PROFILE_r03.md).
 
     Returns ``(packed, row_perm)``: ``packed`` is the part-major
     concatenation of per-part s4d packings, and ``row_perm`` reorders the
