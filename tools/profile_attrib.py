@@ -50,14 +50,14 @@ PEAK_GBS = 819.0
 
 
 def capture_trace(dtype_name: str, steps: int, trace_dir: str, model: str,
-                  hw=(1088, 1920)):
+                  hw=(1088, 1920), streams: int = 1):
     from tcvom_tpu.infer.predict import StreamingPredictor
     from tcvom_tpu.models import full_model as FM
     from tcvom_tpu.models import registry
 
     cfg = FM.TaskConfig(model=model, agg_window=7)
     module = registry.build_model(model, agg_window=7)
-    b, s, (h, w) = 1, 3, hw
+    b, s, (h, w) = streams, 3, hw
     x = jnp.zeros((b, s, h, w, 3 + cfg.trimap_channels), jnp.float32)
     masks = jnp.ones((b, s, h, w, 1), jnp.float32)
     extras = (jnp.zeros((b, s, h, w, 3)), jnp.zeros((b, s, h, w, 2)))
@@ -200,12 +200,27 @@ def parse_xplane(trace_dir: str, steps: int, dtype_name: str):
                 "ms_per_step": round(o["ms"] / steps, 3),
                 **roofline(o["ms"], o["flops"], o["bytes"]),
                 "source": o["source"], "shape": o["shape"]}
-               for o in ops[:15]]
+               for o in ops[:40]]
+
+    # per-source-line aggregation inside each bucket: the long tail of
+    # launch-bound small ops (border strips, scatters) never makes top_ops
+    # individually but dominates some buckets collectively
+    src = collections.defaultdict(lambda: [0.0, 0])
+    for o in ops:
+        key = (o["bucket"], o["source"] or o["op"].split(".")[0])
+        src[key][0] += o["ms"]
+        src[key][1] += 1
+    top_sources = [
+        {"bucket": b, "source": s, "ms_per_step": round(ms / steps, 3),
+         "n_ops": n}
+        for (b, s), (ms, n) in sorted(src.items(), key=lambda kv: -kv[1][0])
+        [:40]]
 
     return {"steps": steps, "dtype": dtype_name,
             "device_total_ms_per_step": round(total_ms / steps, 3),
             "peak_tflops": peak_tf, "peak_gbs": PEAK_GBS,
-            "components": rows, "top_ops": top_ops}
+            "components": rows, "top_ops": top_ops,
+            "top_sources": top_sources}
 
 
 def main():
@@ -215,6 +230,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--hw", type=int, nargs=2, default=(1088, 1920),
                     help="frame size (small values smoke-test on CPU)")
+    ap.add_argument("--streams", type=int, default=1,
+                    help="concurrent video streams (batch) per step")
     ap.add_argument("--trace_dir", default=None)
     ap.add_argument("--parse_only", action="store_true",
                     help="skip capture; parse an existing --trace_dir")
@@ -224,7 +241,7 @@ def main():
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="tpu_attrib_")
     if not args.parse_only:
         capture_trace(args.dtype, args.steps, trace_dir, args.model,
-                      hw=tuple(args.hw))
+                      hw=tuple(args.hw), streams=args.streams)
     report = parse_xplane(trace_dir, args.steps, args.dtype)
     report["model"] = args.model
     print(json.dumps(report, indent=1))
