@@ -171,7 +171,7 @@ class StreamingPredictor:
         cfg = self.cfg
         pred, attb, attf, _ = self.module.apply(
             variables, cur["enc"], {"q": cur["q"], "v": cur["v"]},
-            prev_k, nxt_k, cur["trimask"], train=False,
+            prev_k, nxt_k, cur["trimask"], train=False, need_logits=False,
             method=type(self.module).decode_window_qkv)
         mask = cur["trimask"] > 0.5
         alpha = jnp.where(mask, pred[..., 0:1], cur["gt_tri"])

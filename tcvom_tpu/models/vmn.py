@@ -58,8 +58,10 @@ class FeatureAggregationModule(nn.Module):
     def key(self, x):
         return self.key_conv(x)
 
-    def aggregate(self, q, v, kb, kf, mask):
-        """Both neighbor attentions from precomputed projections."""
+    def aggregate(self, q, v, kb, kf, mask, need_logits: bool = True):
+        """Both neighbor attentions from precomputed projections.
+        ``need_logits=False`` (inference) lets the fused kernel skip the
+        raw attb/attf logits output — only L_att training reads them."""
         h, w = q.shape[-3], q.shape[-2]
         small_mask = resize_nearest(mask, (h, w))
         small_mask = (small_mask > 0.5).astype(q.dtype)
@@ -69,7 +71,8 @@ class FeatureAggregationModule(nn.Module):
         x2, att2 = fam_attention(
             jnp.concatenate([q, q], axis=0),
             jnp.concatenate([kb, kf], axis=0),
-            jnp.concatenate([small_mask, small_mask], axis=0), self.window)
+            jnp.concatenate([small_mask, small_mask], axis=0), self.window,
+            need_logits=need_logits)
         return (v + x2[:n] + x2[n:], att2[:n], att2[n:], small_mask)
 
     def __call__(self, x, b, f, mask):
@@ -127,11 +130,12 @@ class VMN(nn.Module):
         return pred, attb, attf, small_mask
 
     def decode_window_qkv(self, enc_c, qkv_c, k_b, k_f, mask,
-                          train: bool = False):
+                          train: bool = False, need_logits: bool = True):
         """:meth:`decode_window` from cached projections (see
         :meth:`encode_extract_qkv`)."""
         agg, attb, attf, small_mask = self.fam.aggregate(
-            qkv_c["q"], qkv_c["v"], k_b, k_f, mask)
+            qkv_c["q"], qkv_c["v"], k_b, k_f, mask,
+            need_logits=need_logits)
         pred = self.decoder(enc_c, train=train, mode="head", x=agg)
         return pred, attb, attf, small_mask
 

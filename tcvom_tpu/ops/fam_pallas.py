@@ -35,9 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 from tcvom_tpu.ops.fam import fam_attention as fam_attention_xla
 
 
-def _fam_kernel(q_ref, m_ref, kp_ref, out_ref, lg_ref, k_scratch, k_roll,
-                sem, *, window: int, tile_h: int, tile_w: int, w_halo: int,
-                interpret: bool):
+def _fam_kernel(q_ref, m_ref, kp_ref, out_ref, *rest, window: int,
+                tile_h: int, tile_w: int, w_halo: int, interpret: bool,
+                need_logits: bool = True):
+    if need_logits:
+        lg_ref, k_scratch, k_roll, sem = rest
+    else:
+        k_scratch, k_roll, sem = rest
+        lg_ref = None
     r = window // 2
     n = pl.program_id(0)
     ti = pl.program_id(1)
@@ -68,7 +73,9 @@ def _fam_kernel(q_ref, m_ref, kp_ref, out_ref, lg_ref, k_scratch, k_roll,
             m_run, d_run, s_run = carry
             ksh = k_roll[pl.ds(dy, th), :wt, :]            # [th, wt, c]
             l_p = jnp.sum(q * ksh, axis=-1) * scale        # [th, wt]
-            lg_ref[0, 0, 0, dy * window + dx] = (l_p * m2).astype(lg_ref.dtype)
+            if need_logits:
+                lg_ref[0, 0, 0, dy * window + dx] = (
+                    l_p * m2).astype(lg_ref.dtype)
             m_new = jnp.maximum(m_run, l_p)
             corr = jnp.exp(m_run - m_new)
             e_p = jnp.exp(l_p - m_new)
@@ -87,9 +94,9 @@ def _fam_kernel(q_ref, m_ref, kp_ref, out_ref, lg_ref, k_scratch, k_roll,
                   * m2[:, :, None]).astype(out_ref.dtype)
 
 
-def _fam_kernel_mxu(q_ref, m_ref, kp_ref, out_ref, lg_ref, k_scratch,
-                    lg_scratch, sem, *, window: int, tile_h: int,
-                    tile_w: int, w_halo: int):
+def _fam_kernel_mxu(q_ref, m_ref, kp_ref, out_ref, *rest, window: int,
+                    tile_h: int, tile_w: int, w_halo: int,
+                    need_logits: bool = True):
     """MXU formulation: local window attention as banded batched matmuls.
 
     Per dy, the correlation of the q tile against the full W halo is one
@@ -101,6 +108,11 @@ def _fam_kernel_mxu(q_ref, m_ref, kp_ref, out_ref, lg_ref, k_scratch,
     inputs the dots run in 3-pass mode for XLA-parity numerics, bf16 takes
     the fast single pass.
     """
+    if need_logits:
+        lg_ref, k_scratch, lg_scratch, sem = rest
+    else:
+        k_scratch, lg_scratch, sem = rest
+        lg_ref = None
     r = window // 2
     n = pl.program_id(0)
     ti = pl.program_id(1)
@@ -170,8 +182,9 @@ def _fam_kernel_mxu(q_ref, m_ref, kp_ref, out_ref, lg_ref, k_scratch,
     out = jax.lax.fori_loop(0, window, out_body, jnp.zeros_like(q))
 
     out_ref[0] = (out * m2[:, :, None]).astype(out_ref.dtype)
-    for p in range(window * window):
-        lg_ref[0, 0, 0, p] = (lg_scratch[p] * m2).astype(lg_ref.dtype)
+    if need_logits:
+        for p in range(window * window):
+            lg_ref[0, 0, 0, p] = (lg_scratch[p] * m2).astype(lg_ref.dtype)
 
 
 def _pick_tiles(h: int, w: int) -> tuple[int, int] | None:
@@ -212,9 +225,10 @@ def _choose_impl(h: int, w: int, c: int, dtype) -> str:
     return "xla"
 
 
-@functools.partial(jax.jit, static_argnames=("window", "interpret", "mxu"))
+@functools.partial(jax.jit, static_argnames=("window", "interpret", "mxu",
+                                             "need_logits"))
 def _fam_pallas_fwd(q, k, mask, window: int, interpret: bool = False,
-                    mxu: bool = True):
+                    mxu: bool = True, need_logits: bool = True):
     b, h, w, c = q.shape
     r = window // 2
     p2 = window * window
@@ -231,15 +245,28 @@ def _fam_pallas_fwd(q, k, mask, window: int, interpret: bool = False,
     if mxu:
         kernel = functools.partial(_fam_kernel_mxu, window=window,
                                    tile_h=tile_h, tile_w=tile_w,
-                                   w_halo=w_halo)
+                                   w_halo=w_halo, need_logits=need_logits)
         scratch2 = pltpu.VMEM((p2, tile_h, tile_w), jnp.float32)  # logits
     else:
         kernel = functools.partial(_fam_kernel, window=window, tile_h=tile_h,
                                    tile_w=tile_w, w_halo=w_halo,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   need_logits=need_logits)
         scratch2 = pltpu.VMEM((tile_h + 2 * r, w_halo, c), q.dtype)  # roll
     grid = (b, hb, wb)
-    out, lg = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, tile_h, tile_w, c), lambda n, t, s: (n, t, s, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, h, w, c), q.dtype)]
+    if need_logits:
+        out_specs.append(
+            pl.BlockSpec((1, 1, 1, p2, tile_h, tile_w),
+                         lambda n, t, s: (n, t, s, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, hb, wb, p2, tile_h, tile_w), q.dtype))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         interpret=interpret,
@@ -251,23 +278,17 @@ def _fam_pallas_fwd(q, k, mask, window: int, interpret: bool = False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # kp: full array in HBM
         ],
-        out_specs=[
-            pl.BlockSpec((1, tile_h, tile_w, c), lambda n, t, s: (n, t, s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, p2, tile_h, tile_w),
-                         lambda n, t, s: (n, t, s, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, w, c), q.dtype),
-            jax.ShapeDtypeStruct((b, hb, wb, p2, tile_h, tile_w), q.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * r, w_halo, c), q.dtype),
             scratch2,
             pltpu.SemaphoreType.DMA,
         ],
     )(q, mask2, kp)
+    if not need_logits:
+        return outs[0], None
+    out, lg = outs
     # [B, Hb, Wb, P, th, wt] -> [B, H, W, P]
     lg = jnp.transpose(lg, (0, 1, 4, 2, 5, 3)).reshape(b, h, w, p2)
     return out, lg
@@ -296,11 +317,19 @@ def _bwd(window, mxu, residuals, cts):
 fam_attention_fused.defvjp(_fwd, _bwd)
 
 
-def fam_attention(q, k, mask, window: int, use_pallas: bool | None = None):
+def fam_attention(q, k, mask, window: int, use_pallas: bool | None = None,
+                  need_logits: bool = True):
     """Dispatch: fused Pallas kernel on TPU wherever it measures faster
     than the XLA formulation (see _choose_impl for the measured table),
     XLA otherwise. Covers both the 512^2 training crop (VPU variant,
-    3.5x XLA) and the 1088x1920 inference frame (MXU-banded variant)."""
+    3.5x XLA) and the 1088x1920 inference frame (MXU-banded variant).
+
+    ``need_logits=False`` (inference-only, not differentiable through the
+    fused path) skips the raw-logits output entirely — the kernel writes
+    no [B, H, W, window^2] tensor and the post-kernel tile transpose
+    disappears; the returned logits are zeros for XLA to DCE. Only the
+    L_att training loss consumes them (reference models/model.py:286-321);
+    the pred drivers discard attb/attf."""
     h, w, c = q.shape[-3], q.shape[-2], q.shape[-1]
     if use_pallas is None:
         impl = (_choose_impl(h, w, c, q.dtype)
@@ -319,5 +348,10 @@ def fam_attention(q, k, mask, window: int, use_pallas: bool | None = None):
     else:
         impl = "xla"
     if impl != "xla":
+        if not need_logits:
+            out, _ = _fam_pallas_fwd(q, k, mask, window, mxu=(impl == "mxu"),
+                                     need_logits=False)
+            lg = jnp.zeros(q.shape[:-1] + (window * window,), q.dtype)
+            return out, lg
         return fam_attention_fused(q, k, mask, window, mxu=(impl == "mxu"))
     return fam_attention_xla(q, k, mask, window)

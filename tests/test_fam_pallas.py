@@ -28,6 +28,23 @@ def test_fam_pallas_interpret_matches_xla(rng, shape, window, mxu):
                                atol=1e-5)
 
 
+@pytest.mark.parametrize("mxu", [False, True])
+def test_fam_pallas_need_logits_false_same_out(rng, mxu):
+    """The inference-only logits-skip path must not change the aggregated
+    output (only the [B,H,W,window^2] logits tensor disappears)."""
+    b, h, w, c, window = 1, 16, 24, 32, 7
+    q = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    mask = jnp.asarray((rng.rand(b, h, w, 1) > 0.4).astype(np.float32))
+
+    want_out, _ = _fam_pallas_fwd(q, k, mask, window, interpret=True, mxu=mxu)
+    got_out, got_lg = _fam_pallas_fwd(q, k, mask, window, interpret=True,
+                                      mxu=mxu, need_logits=False)
+    assert got_lg is None
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                               atol=0, rtol=0)
+
+
 def test_dispatch_policy_table():
     """Pin the measured dispatch policy (bench_fam.json): VPU on small f32
     grids, MXU on bf16 and wide-channel 1080p grids, XLA elsewhere."""

@@ -59,7 +59,7 @@ def make_batch(rng, b, s, h, w, dtype=jnp.float32):
             "bg": jnp.asarray(rng.randint(0, 256, (b, s, h, w, 3)), dtype)}
 
 
-def bench_one(model, driver, b, s, hw, remat, iters):
+def bench_one(model, driver, b, s, hw, remat, iters, bf16=False):
     from tcvom_tpu.models.full_model import TaskConfig
     from tcvom_tpu.train.trainer import MattingTrainer
 
@@ -71,6 +71,17 @@ def bench_one(model, driver, b, s, hw, remat, iters):
     batch = make_batch(rng, b, s, h, w)
     key = jax.random.PRNGKey(0)
     state = trainer.init_state(key, batch)
+    if bf16:
+        # compute-cost probe: bf16 params/activations end to end (the
+        # optimizer moments stay f32 from init; optax.apply_updates keeps
+        # the param dtype). Not a production mixed-precision recipe —
+        # BN EMA stats also quantize to bf16 here.
+        def f(a):
+            return (a.astype(jnp.bfloat16)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a)
+        state = state.replace(params=jax.tree.map(f, state.params),
+                              model_state=jax.tree.map(f, state.model_state))
+        batch = jax.tree.map(f, batch)
 
     # jit the step through the trainer's own path; pull XLA's FLOP count
     # from the compiled executable
@@ -119,12 +130,16 @@ def main():
         ("vmn_dim", "vmd", 1, 3, (64, 64), "smoke")]
     results = []
     for model, driver, b, s, hw, label in configs:
-        for remat in ((False,) if args.skip_remat else (False, True)):
+        variants = [(False, False), (False, True)] if not args.skip_remat \
+            else [(False, False)]
+        variants.append((True, False))       # bf16-compute probe
+        for bf16, remat in variants:
             row = {"model": model, "driver": driver, "batch": b, "s": s,
-                   "hw": list(hw), "remat": remat, "label": label}
+                   "hw": list(hw), "remat": remat, "bf16": bf16,
+                   "label": label}
             try:
                 row.update(bench_one(model, driver, b, s, hw, remat,
-                                     args.iters))
+                                     args.iters, bf16=bf16))
             except Exception as e:
                 row["error"] = f"{type(e).__name__}: {e}"[:300]
             results.append(row)

@@ -80,8 +80,15 @@ def check_fam(results):
                 q, k, m, window, mxu=(variant == "mxu")))(q, k, m)
             row["maxerr_out"] = _maxerr(o, o_ref)
             row["maxerr_logits"] = _maxerr(lg, l_ref)
+            # inference logits-skip path: same aggregated output, bit-exact
+            # vs the logits-writing kernel of the same variant
+            o_nl, _ = jax.jit(lambda q, k, m: fam_pallas._fam_pallas_fwd(
+                q, k, m, window, mxu=(variant == "mxu"),
+                need_logits=False))(q, k, m)
+            row["maxerr_out_nologits"] = _maxerr(o_nl, o)
             row["ok"] = bool(row["maxerr_out"] < tol
-                             and row["maxerr_logits"] < tol * 200)
+                             and row["maxerr_logits"] < tol * 200
+                             and row["maxerr_out_nologits"] == 0.0)
         except Exception as e:
             row["ok"] = False
             row["error"] = f"{type(e).__name__}: {e}"[:300]
