@@ -45,6 +45,22 @@ def test_fam_pallas_need_logits_false_same_out(rng, mxu):
                                atol=0, rtol=0)
 
 
+def test_fam_pallas_mxu2_interpret_matches_xla(rng):
+    """The inference-only single-matmul-pair kernel (one banded correlation
+    + one reconstruction matmul, no logits output) must agree with XLA."""
+    for (b, h, w, c, window) in [(1, 16, 24, 32, 7), (2, 8, 16, 8, 3)]:
+        q = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        mask = jnp.asarray((rng.rand(b, h, w, 1) > 0.4).astype(np.float32))
+
+        want_out, _ = fam_xla(q, k, mask, window)
+        got_out, got_lg = _fam_pallas_fwd(q, k, mask, window, interpret=True,
+                                          mxu2=True, need_logits=False)
+        assert got_lg is None
+        np.testing.assert_allclose(np.asarray(got_out), np.asarray(want_out),
+                                   atol=1e-5)
+
+
 def test_dispatch_policy_table():
     """Pin the measured dispatch policy (bench_fam.json): VPU on small f32
     grids, MXU on bf16 and wide-channel 1080p grids, XLA elsewhere."""

@@ -56,6 +56,10 @@ FAM_CASES = [
     (136, 240, 256, "float32", "mxu", 5e-5),
     (136, 240, 256, "bfloat16", "mxu", 1e-1),
     (136, 240, 128, "float32", "mxu", 5e-5),
+    # inference-only single-matmul-pair kernel (no logits); production
+    # dispatch: bf16 any grid, f32 only <=64x64 (VMEM bound on kall)
+    (64, 64, 256, "float32", "mxu2", 5e-5),
+    (136, 240, 256, "bfloat16", "mxu2", 1e-1),
 ]
 
 
@@ -76,6 +80,15 @@ def check_fam(results):
         try:
             o_ref, l_ref = jax.jit(
                 lambda q, k, m: fam_xla(q, k, m, window))(q, k, m)
+            if variant == "mxu2":
+                # no-logits inference kernel: only the aggregated output
+                o, lg = jax.jit(lambda q, k, m: fam_pallas._fam_pallas_fwd(
+                    q, k, m, window, mxu2=True, need_logits=False))(q, k, m)
+                row["maxerr_out"] = _maxerr(o, o_ref)
+                row["ok"] = bool(row["maxerr_out"] < tol)
+                results.append(row)
+                print(json.dumps(row))
+                continue
             o, lg = jax.jit(lambda q, k, m: fam_pallas._fam_pallas_fwd(
                 q, k, m, window, mxu=(variant == "mxu")))(q, k, m)
             row["maxerr_out"] = _maxerr(o, o_ref)
