@@ -56,8 +56,12 @@ FAM_CASES = [
     (136, 240, 256, "float32", "mxu", 5e-5),
     (136, 240, 256, "bfloat16", "mxu", 1e-1),
     (136, 240, 128, "float32", "mxu", 5e-5),
-    # inference-only single-matmul-pair kernel (no logits); production
-    # dispatch: bf16 any grid, f32 only <=64x64 (VMEM bound on kall)
+    # inference-only single-matmul-pair kernel (no logits). Production
+    # reaches it only when _choose_impl picks 'mxu' AND the use2 gate
+    # passes (bf16, or a small grid that would pick 'mxu' — i.e. bf16
+    # small/large C>=256 grids); f32 small grids route to 'vpu' and bf16
+    # C=128 large grids to 'xla'. The f32 64x64 row below is therefore
+    # forced-path coverage (kernel correctness), not a production shape.
     (64, 64, 256, "float32", "mxu2", 5e-5),
     (136, 240, 256, "bfloat16", "mxu2", 1e-1),
 ]
