@@ -376,13 +376,15 @@ def group_norm_s2d(x, scale, bias, num_groups: int = 32, eps: float = 1e-5):
 # conv wrappers (functional, torch-padding semantics)
 # ---------------------------------------------------------------------------
 
-def conv2d(x, kernel, *, stride: int = 1, padding=0, lhs_dilation=None):
+def conv2d(x, kernel, *, stride: int = 1, padding=0, lhs_dilation=None,
+           groups: int = 1):
     pad = padding
     if isinstance(pad, int):
         pad = [(pad, pad), (pad, pad)]
     return lax.conv_general_dilated(
         x, kernel.astype(x.dtype), window_strides=(stride, stride),
-        padding=pad, lhs_dilation=lhs_dilation, dimension_numbers=_DN)
+        padding=pad, lhs_dilation=lhs_dilation, dimension_numbers=_DN,
+        feature_group_count=groups)
 
 
 def up_conv(h, w3, bias=None):

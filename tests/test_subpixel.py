@@ -117,6 +117,36 @@ def test_fba_tail_fast_matches_slow_with_stitching(rng):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+@pytest.mark.parametrize("h4w4", [(24, 16), (16, 16)])
+def test_fba_tail_stitching_portrait_and_square(rng, h4w4):
+    """The merged strip chain pads whichever strip pair is shorter
+    (portrait pads top/bottom; square pads none) — both orientations must
+    still match the reference-shaped tail everywhere."""
+    from tcvom_tpu.models.fba import _fba_tail
+
+    h4s, w4s = h4w4
+    h4 = jnp.asarray(rng.randn(1, h4s, w4s, 256).astype(np.float32))
+    skip2 = jnp.asarray(rng.randn(1, 2 * h4s, 2 * w4s, 64).astype(np.float32))
+    ex_parts = tuple(
+        jnp.asarray(rng.randn(1, 4 * h4s, 4 * w4s, c).astype(np.float32))
+        for c in (3, 3, 2))
+    p = dict(
+        w3=jnp.asarray(rng.randn(3, 3, 320, 64).astype(np.float32)) * 0.1,
+        b3=jnp.asarray(rng.randn(64).astype(np.float32)) * 0.1,
+        gn_scale=jnp.asarray(rng.rand(64).astype(np.float32) + 0.5),
+        gn_bias=jnp.asarray(rng.randn(64).astype(np.float32) * 0.1),
+        w40=jnp.asarray(rng.randn(3, 3, 72, 32).astype(np.float32)) * 0.1,
+        b40=jnp.asarray(rng.randn(32).astype(np.float32) * 0.1),
+        w41=jnp.asarray(rng.randn(3, 3, 32, 16).astype(np.float32)) * 0.1,
+        b41=jnp.asarray(rng.randn(16).astype(np.float32) * 0.1),
+        w42=jnp.asarray(rng.randn(1, 1, 16, 7).astype(np.float32)) * 0.1,
+        b42=jnp.asarray(rng.randn(7).astype(np.float32) * 0.1),
+    )
+    want = np.asarray(_fba_tail(h4, skip2, ex_parts, p, force_fast=False))
+    got = np.asarray(_fba_tail(h4, skip2, ex_parts, p, force_fast=True))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_dim_head_fast_matches_slow(rng):
     """DIM's block-packed head (phase-scatter unpool + packed 5x5 convs)
     must match the reference-shaped head exactly — borders included, no
