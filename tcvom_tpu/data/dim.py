@@ -121,7 +121,17 @@ class DIMPretrainDataset:
         assert len(fg_set) == len(bg_set)
         self.sample_fn = [(f.split(" ")[0], f.split(" ")[1], b)
                           for f, b in zip(fg_set, bg_set)]
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _item_rng(self, idx: int) -> np.random.RandomState:
+        """Per-(seed, epoch, idx) RandomState — thread-safe and identical
+        across process counts (see VideoMattingDataset._item_rng)."""
+        return np.random.RandomState(
+            (self.seed * 1_000_003 + self.epoch * 8_191 + idx) % (2**31 - 1))
 
     def __len__(self):
         return len(self.sample_fn)
@@ -147,20 +157,21 @@ class DIMPretrainDataset:
             return np.uint8(img), np.uint8(a)
         return np.uint8(img)
 
-    def _crop(self, imgs, size_hw, uniform: bool):
+    def _crop(self, imgs, size_hw, uniform: bool, rng=None):
         """CropToFixedSize for a group with shared offsets."""
         h, w = imgs[0].shape[:2]
         th, tw = size_hw
         th, tw = min(th, h), min(tw, w)
         if uniform:
-            y0 = self.rng.randint(0, h - th + 1)
-            x0 = self.rng.randint(0, w - tw + 1)
+            y0 = rng.randint(0, h - th + 1)
+            x0 = rng.randint(0, w - tw + 1)
         else:
             y0, x0 = (h - th) // 2, (w - tw) // 2
         return [im[y0:y0 + th, x0:x0 + tw] for im in imgs]
 
     def __getitem__(self, idx: int):
         fg_fn, a_fn, bg_fn = self.sample_fn[idx]
+        rng = self._item_rng(idx)
         ofg = cv2.imread(os.path.join(self.data_root, fg_fn), cv2.IMREAD_COLOR)
         oa = cv2.imread(os.path.join(self.data_root, a_fn), cv2.IMREAD_GRAYSCALE)
         obg = cv2.imread(os.path.join(self.data_root, bg_fn), cv2.IMREAD_COLOR)
@@ -171,8 +182,8 @@ class DIMPretrainDataset:
             if self.is_train:
                 fg, a = self._resize_ratio(fg, a)
                 bg = self._resize_ratio(bg, interpolation=cv2.INTER_CUBIC)
-                fg, a = self._crop([fg, a], (self.min_shape, self.min_shape), True)
-                (bg,) = self._crop([bg], (self.min_shape, self.min_shape), True)
+                fg, a = self._crop([fg, a], (self.min_shape, self.min_shape), True, rng)
+                (bg,) = self._crop([bg], (self.min_shape, self.min_shape), True, rng)
             else:
                 if self.val_mode == "resize":
                     fg, a = self._resize_ratio(fg, a, use_short=False, force=True)
@@ -203,18 +214,18 @@ class DIMPretrainDataset:
                 a = np.pad(a, ((0, ph), (0, pw)), mode=mode)
 
             fgs, bgs, alphas, good = synth_frames3(
-                fg, bg, a, self.rng if self.is_train else None)
+                fg, bg, a, rng if self.is_train else None)
             if good:
                 break
             if not self.is_train:
                 break  # eval variant never re-rolls
 
         if self.is_train:
-            flip = self.rng.rand() < 0.5
-            crop = int(self.rng.choice(self.CROP_SIZES))
+            flip = rng.rand() < 0.5
+            crop = int(rng.choice(self.CROP_SIZES))
             h, w = fgs[0].shape[:2]
-            y0 = self.rng.randint(0, max(h - crop, 0) + 1)
-            x0 = self.rng.randint(0, max(w - crop, 0) + 1)
+            y0 = rng.randint(0, max(h - crop, 0) + 1)
+            x0 = rng.randint(0, max(w - crop, 0) + 1)
             for i in range(3):
                 def proc(img, inter):
                     im = img[:, ::-1] if flip else img

@@ -51,6 +51,8 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self):
         n = len(epoch_indices(len(self.dataset), 0, False,

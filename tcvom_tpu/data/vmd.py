@@ -138,7 +138,23 @@ class VideoMattingDataset:
         with open(os.path.join(data_root, setname)) as f:
             videos = [v.strip() for v in f if v.strip()]
         self.samples = parse_samples(videos, self.frame_corr, sample_length)
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Augmentation draws derive from (seed, epoch, idx) — the loader
+        forwards its epoch here so draws vary per epoch like the
+        reference's per-epoch DataLoader RNG."""
+        self.epoch = epoch
+
+    def _item_rng(self, idx: int) -> np.random.RandomState:
+        """Per-sample RandomState: deterministic for a given (seed, epoch,
+        idx) no matter how many worker threads or processes consume the
+        dataset — a shared RandomState would be racy across the loader's
+        threads and make multi-process runs diverge from single-process
+        ones with the same global batch."""
+        return np.random.RandomState(
+            (self.seed * 1_000_003 + self.epoch * 8_191 + idx) % (2**31 - 1))
 
     def __len__(self):
         return len(self.samples)
@@ -153,7 +169,7 @@ class VideoMattingDataset:
         return np.float32(f[..., :-1]), bg, np.float32(f[..., -1:])
 
     # -- augmentation ---------------------------------------------------------
-    def _shape_aug(self, fgs, bgs, alphas,
+    def _shape_aug(self, fgs, bgs, alphas, rng,
                    scales=(1.0, 1.25, 1.5, 2.0, 1.75)):
         """Random scale crop, re-rolled until unknown pixels survive
         (reference shape_aug, VMD.py:128-166). Returns crop params too so
@@ -166,10 +182,10 @@ class VideoMattingDataset:
                    and int(self.image_shape[1] * s) < W] or [
                        min(H - 1, W - 1) / float(self.image_shape[0])]
         for attempt in range(1000):
-            scale = float(self.rng.choice(fitting))
+            scale = float(rng.choice(fitting))
             nsize = (int(self.image_shape[0] * scale), int(self.image_shape[1] * scale))
-            ph = self.rng.randint(0, H - nsize[0])
-            pw = self.rng.randint(0, W - nsize[1])
+            ph = rng.randint(0, H - nsize[0])
+            pw = rng.randint(0, W - nsize[1])
             pa = [resize_bilinear_ac(a[ph:ph + nsize[0], pw:pw + nsize[1]],
                                      self.image_shape) for a in alphas]
             if all(np.sum((x > 0) & (x < 255)) >= 1 for x in pa):
@@ -184,7 +200,8 @@ class VideoMattingDataset:
 
     def __getitem__(self, idx: int):
         sample = list(self.samples[idx])
-        if self.mode == "train" and self.rng.rand() > 0.5:
+        rng = self._item_rng(idx)
+        if self.mode == "train" and rng.rand() > 0.5:
             sample = sample[::-1]
         s = len(sample)
         root = self.data_root if self.precomputed_val is None else self.precomputed_val
@@ -213,7 +230,7 @@ class VideoMattingDataset:
             flows_b[-2] = _fl(fns[-2], fns[-3])
 
         if self.mode == "train":
-            fgs, bgs, alphas, (ph, pw, nsize) = self._shape_aug(fgs, bgs, alphas)
+            fgs, bgs, alphas, (ph, pw, nsize) = self._shape_aug(fgs, bgs, alphas, rng)
             if not self.no_flow:
                 for i in range(s):
                     if flows_b[i] is not None:
@@ -222,10 +239,10 @@ class VideoMattingDataset:
                     if flows_f[i] is not None:
                         flows_f[i] = flow_crop_and_resize(
                             flows_f[i], ph, pw, nsize, self.image_shape)
-            paug_fg = PixelAug(self.rng)
+            paug_fg = PixelAug(rng)
             p_fg = paug_fg.sample()
             p_bg = paug_fg.sample()
-            jp = JpegAug(self.rng).sample()
+            jp = JpegAug(rng).sample()
             for i in range(s):
                 f = PixelAug.apply(np.uint8(fgs[i]), p_fg)
                 f = JpegAug.apply(f, jp)
