@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from flax import linen as nn
 
 from tcvom_tpu.models.layers import (Conv, GroupNorm32, RawConvParams,
@@ -148,63 +147,32 @@ def _fba_tail_slow(h4, skip2, ex1, p, gn_stats=None):
     return sp.conv2d(h, p["w42"], padding=0) + p["b42"]
 
 
-def _upconv_ring_patch(y, x, w, pack: int):
-    """Overwrite the approximate border ring of a (conv3x3 o up2x)
-    composite ``y`` with exact values.
+def _stage_b_slow(h4, skip2, w3, b3):
+    """Reference-shaped conv_up3 pre-GN output (used for border strips)."""
+    h = resize_bilinear(h4, (h4.shape[-3] * 2, h4.shape[-2] * 2))
+    h = jnp.concatenate([h, skip2], axis=-1)
+    return sp.conv2d(h, w3, padding=1) + b3
 
-    The true ring depends only on the outer TWO input cells of each side:
-    running the reference-shaped ops (clamped 2x upsample + zero-padded
-    conv) on a 2-cell strip reproduces the real edge clamp on the outer
-    side and the real conv zero padding at the outer edge, and only the
-    strip's inner-cut rows — never consumed by the kept ring — see wrong
-    boundary treatment. Each side is one tiny chain (strip -> upsample ->
-    conv -> repack) on sub-MB tensors; top+bottom batch together, and
-    left+right run the same ops transposed (conv(xT, wT) == conv(x, w)T,
-    zero padding is symmetric). Exact including corners, so there is no
-    apply-order constraint. This replaces the launch-bound full-res
-    slow-path strip chains the profile measured at ~5 ms/frame (dozens of
-    0.1-0.25 ms slices/copies of 1080p tensors).
 
-    ``pack`` = 2: unpacked input -> 2x2-packed output on the input grid
-    (stage b, the conv_up3 upsample part); ``pack`` = 4: 2x2-packed input
-    -> 4x4-packed output on the quarter grid (stage c, the conv_up4_0
-    upsample part). ``w`` is the raw [3,3,I,O] conv kernel.
-    """
-    n = x.shape[0]
-    k = pack // 2                 # output rows of the composite per cell
-
-    def run(s, tpose: bool):
-        """Pre-unpacked 2-cell strips [2N, pack, L, C] (or the transpose)
-        -> exact packed ring [2N, 1, L', ·] (first N rows = leading side,
-        last N = trailing side). The l/r sides run the same ops transposed
-        (bilinear resize is separable, conv(xT, wT) == conv(x, w)T, zero
-        padding is symmetric) — but ONLY at full resolution: the s2d/s4d
-        channel-block order is not transpose-covariant, so pack/unpack
-        always happens in the original orientation."""
-        wk = w.transpose(1, 0, 2, 3) if tpose else w
-        if tpose:
-            s = s.transpose(0, 2, 1, 3)
-        u = resize_bilinear(s, (s.shape[-3] * 2, s.shape[-2] * 2))
-        t = sp.conv2d(u, wk, padding=1)
-        t = jnp.concatenate([t[:n, : 2 * k], t[n:, -2 * k:]], axis=0)
-        if tpose:
-            t = t.transpose(0, 2, 1, 3)
-        return sp.s2d(t) if pack == 2 else sp.s4d(t)
-
-    unpack = (lambda v: v) if pack == 2 else sp.d2s
-    tb = run(unpack(jnp.concatenate([x[:, :2], x[:, -2:]], axis=0)), False)
-    lr = run(unpack(jnp.concatenate([x[:, :, :2], x[:, :, -2:]], axis=0)),
-             True)
-    # overwrite via broadcasted-iota selects, NOT .at[].set(): a column
-    # dynamic-update-slice on the TPU's tiled layout lowers to near-full-
-    # tensor slice+copy chains (measured ~5 ms/frame across the 8 ring
-    # writes), while selects fuse into the consumer as elementwise ops
-    hh, ww = y.shape[-3], y.shape[-2]
-    ri = lax.broadcasted_iota(jnp.int32, (hh, 1, 1), 0)
-    ci = lax.broadcasted_iota(jnp.int32, (ww, 1), 0)
-    y = jnp.where(ri == 0, tb[:n], jnp.where(ri == hh - 1, tb[n:], y))
-    y = jnp.where(ci == 0, lr[:n], jnp.where(ci == ww - 1, lr[n:], y))
-    return y
+def _patch_b_border(b, h4, skip2, w3, b3):
+    """Exact stage-b (conv_up3 pre-GN) values on the 1-pixel packed border
+    ring: the subpixel composite's ring approximates the conv's zero
+    padding, and it must be patched BEFORE the GroupNorm statistics (a
+    wrong ring would contaminate the global mean/var and shift every
+    pixel). Top+bottom and left+right strips run as two batch-2 slow-path
+    chains instead of four batch-1 ones (thin-strip ops are launch-bound)."""
+    n = h4.shape[0]
+    tb = sp.s2d(_stage_b_slow(
+        jnp.concatenate([h4[:, :4], h4[:, -4:]], axis=0),
+        jnp.concatenate([skip2[:, :8], skip2[:, -8:]], axis=0), w3, b3))
+    b = b.at[:, :1].set(tb[:n, :1])
+    b = b.at[:, -1:].set(tb[n:, -1:])
+    lr = sp.s2d(_stage_b_slow(
+        jnp.concatenate([h4[:, :, :4], h4[:, :, -4:]], axis=0),
+        jnp.concatenate([skip2[:, :, :8], skip2[:, :, -8:]], axis=0), w3, b3))
+    b = b.at[:, :, :1].set(lr[:n, :, :1])
+    b = b.at[:, :, -1:].set(lr[n:, :, -1:])
+    return b
 
 
 def _fba_tail_fast16(h4, skip2, ex_parts, p):
@@ -215,23 +183,15 @@ def _fba_tail_fast16(h4, skip2, ex_parts, p):
     conv at 1080p), and the raw-input/image/trimap concat is packed
     part-wise (``s4d_parts``) instead of materializing the 8-channel
     full-res tensor (measured 6.1 ms of 16x-lane-padded writes).
-
-    Exact INCLUDING borders: the only border-approximate pieces are the
-    two (conv o up2x) composites, whose rings are overwritten with exact
-    values by :func:`_upconv_ring_patch` — stage b's ring BEFORE the
-    GroupNorm statistics (a wrong ring would contaminate the global
-    mean/var and shift every pixel), stage c's before the 16-pack conv
-    chain (everything downstream — rep16/1x1 convs — is border-exact by
-    construction)."""
+    Interior-exact; border ring stitched by the caller as usual."""
     w3 = ws_standardize(p["w3"])
     cin = h4.shape[-1]
-    up_b = _upconv_ring_patch(sp.up_conv(h4, w3[:, :, :cin]), h4,
-                              w3[:, :, :cin], pack=2)
-    b = (up_b
+    b = (sp.up_conv(h4, w3[:, :, :cin])
          + sp.conv2d(skip2, sp.stride2_conv_kernel(w3[:, :, cin:]),
                      stride=2, padding=1)
          + sp.tile_bias(p["b3"]))
 
+    b = _patch_b_border(b, h4, skip2, w3, p["b3"])
     gn_stats = sp.group_norm_s2d_stats(b, p["gn_scale"], p["gn_bias"])
     mul4 = jnp.tile(gn_stats[0], (1, 4))[:, None, None, :]
     add4 = jnp.tile(gn_stats[1], (1, 4))[:, None, None, :]
@@ -243,33 +203,63 @@ def _fba_tail_fast16(h4, skip2, ex_parts, p):
     ex16, row_perm = sp.s4d_parts(ex_parts)
     k_ex = jnp.take(sp.rep16_conv_kernel(p["w40"][:, :, nup:]),
                     jnp.asarray(row_perm), axis=2)
-    up_c = _upconv_ring_patch(
-        sp.conv2d(b, sp.up_conv_16_kernel(p["w40"][:, :, :nup]), padding=1),
-        b, p["w40"][:, :, :nup], pack=4)
-    c = up_c + sp.conv2d(ex16, k_ex, padding=1) + sp.tile_bias16(p["b40"])
+    c = (sp.conv2d(b, sp.up_conv_16_kernel(p["w40"][:, :, :nup]), padding=1)
+         + sp.conv2d(ex16, k_ex, padding=1)
+         + sp.tile_bias16(p["b40"]))
     c = nn.leaky_relu(c, 0.01)                            # rep1[h1], 16-pack
     d = nn.leaky_relu(sp.conv2d(c, sp.rep16_conv_kernel(p["w41"]), padding=1)
                       + sp.tile_bias16(p["b41"]), 0.01)
     e = (sp.conv2d(d, sp.rep16_1x1_kernel(p["w42"]), padding=0)
          + sp.tile_bias16(p["b42"]))
-    return sp.d4s(e, prefer_reshape=True)
+    return sp.d4s(e, prefer_reshape=True), gn_stats
 
 
-def _fba_tail(h4, skip2, ex_parts, p, force_fast=None):
-    """Subpixel fast tail, exact everywhere (borders via the composite
-    ring patches inside :func:`_fba_tail_fast16`). ``ex_parts`` is the
+def _fba_tail(h4, skip2, ex_parts, p, ring: int = 8, force_fast=None):
+    """Fast tail + exact border ring stitched from the reference-shaped
+    path (upsample edge-clamp and conv zero-pad do not commute with the
+    subpixel composition on a <=7px OS=1 ring; ``ring``=8 is margin).
+    GroupNorm strips reuse the full-image statistics. ``ex_parts`` is the
     tuple (raw rgb, image, 2ch trimap) — concatenated lazily so the fast
-    path never materializes the thin full-res concat; other backends take
-    the reference-shaped path."""
+    path never materializes the thin full-res concat."""
+    s4 = (ring + 1) // 4 + 4                              # strip extent, OS=4
     fast_ok = (jax.default_backend() == "tpu" if force_fast is None
                else force_fast)
-    fast_ok = (fast_ok and h4.shape[-3] >= 4 and h4.shape[-2] >= 4
+    fast_ok = (fast_ok and h4.shape[-3] >= 2 * s4
+               and h4.shape[-2] >= 2 * s4
                and ex_parts[0].shape[-3] % 4 == 0
                and ex_parts[0].shape[-2] % 4 == 0)
     if not fast_ok:
         ex1 = jnp.concatenate(ex_parts, axis=-1)
         return _fba_tail_slow(h4, skip2, ex1, p)
-    return _fba_tail_fast16(h4, skip2, ex_parts, p)
+    out, gn_stats = _fba_tail_fast16(h4, skip2, ex_parts, p)
+    s2, s1, r = 2 * s4, 4 * s4, ring
+    n = h4.shape[0]
+    # opposite-edge strips share a shape — run each pair as one batch-2
+    # slow-path chain (the thin-strip ops are launch-bound, so halving the
+    # op-chain count nearly halves the stitch cost); GN affine reuses the
+    # full-image stats, tiled across the doubled batch
+    gn2 = tuple(jnp.concatenate([g, g], axis=0) for g in gn_stats)
+
+    def strips(axis):
+        # strip extents scale 1:2:4 across the OS=4/2/1 operands
+        def cat_sl(t, ext):
+            s = [slice(None)] * 3
+            s[axis] = slice(None, ext)
+            lead = t[tuple(s)]
+            s[axis] = slice(-ext, None)
+            return jnp.concatenate([lead, t[tuple(s)]], axis=0)
+        h4s = cat_sl(h4, s4)
+        skips = cat_sl(skip2, s2)
+        ex1s = jnp.concatenate([cat_sl(t, s1) for t in ex_parts], axis=-1)
+        return _fba_tail_slow(h4s, skips, ex1s, p, gn_stats=gn2)
+
+    tb = strips(axis=1)
+    out = out.at[:, :r].set(tb[:n, :r])
+    out = out.at[:, -r:].set(tb[n:, -r:])
+    lr = strips(axis=2)
+    out = out.at[:, :, :r].set(lr[:n, :, :r])
+    out = out.at[:, :, -r:].set(lr[n:, :, -r:])
+    return out
 
 
 class FBADecoder(nn.Module):
