@@ -61,7 +61,8 @@ def _dist1d_along_axis(seed: jnp.ndarray, axis: int,
 
 
 def edt_squared(seed: jnp.ndarray, chunk: int = 128,
-                truncate: int | None = None) -> jnp.ndarray:
+                truncate: int | None = None,
+                use_pallas: bool | None = None) -> jnp.ndarray:
     """Squared Euclidean distance to the nearest True pixel.
 
     ``seed``: bool ``[..., H, W]``. Returns float32 of the same shape; pixels
@@ -72,11 +73,29 @@ def edt_squared(seed: jnp.ndarray, chunk: int = 128,
     >= truncate^2 elsewhere. The Gaussian click encoding underflows well
     inside 256px for its largest sigma, so truncation there is lossless
     in the outputs while cutting the min-plus work ~W/(2*truncate)x.
+
+    ``use_pallas``: route the truncated row pass through the fused VMEM
+    kernel (ops/edt_pallas.py) — default on for TPU at production widths.
+    Same contract (exact inside the radius); the two paths may differ by
+    <= exp(-truncate^2/sigma_max^2) ~ 4e-6 in the downstream Gaussian
+    channels where the nearest seed sits 256..511 columns away (the XLA
+    chunking searches a slightly wider window there).
     """
     g = _dist1d_along_axis(seed, axis=seed.ndim - 2,
                            truncate=truncate)              # column distances
     g2 = jnp.minimum(g * g, _BIG)                           # cap for safety
     h, w = seed.shape[-2], seed.shape[-1]
+
+    if truncate is not None and truncate % 8 == 0:
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and w >= 2 * truncate)
+        if use_pallas:
+            from tcvom_tpu.ops.edt_pallas import edt_row_pass_fused
+            rows = g2.reshape(-1, w)
+            out = edt_row_pass_fused(rows, trunc=truncate)
+            return out.reshape(g2.shape)
+
     cols = jnp.arange(w, dtype=jnp.float32)
 
     nchunks = -(-w // chunk)

@@ -112,3 +112,44 @@ def test_messddt_matches_torch_gridsample(rng):
     np.testing.assert_allclose(float(fix), float(err.sum()), rtol=1e-4)
     np.testing.assert_allclose(float(org), float(err2.sum()), rtol=1e-4)
     assert int(valid) == int(mask.sum())
+
+
+def test_edt_row_pass_pallas_matches_bruteforce(rng):
+    """The fused Pallas row pass (interpret mode) is bit-exact against the
+    brute-force parabolic min-plus within the truncation radius — multiple
+    tiles in both grid axes, tail padding in rows and columns."""
+    from tcvom_tpu.ops.edt_pallas import edt_row_pass_fused
+
+    t = 32
+    for r, w in [(200, 300), (130, 70)]:
+        g2 = np.where(rng.rand(r, w) < 0.05, 0.0,
+                      rng.randint(0, 3000, (r, w))).astype(np.float32)
+        got = np.asarray(edt_row_pass_fused(jnp.asarray(g2), trunc=t,
+                                            interpret=True))
+        pad = np.pad(g2, ((0, 0), (t, t)), constant_values=1e7)
+        want = np.min(np.stack(
+            [pad[:, d: d + w] + (t - d) ** 2 for d in range(2 * t + 1)]),
+            axis=0)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_edt_squared_pallas_route_matches_xla(rng):
+    """edt_squared with the kernel route forced on equals the XLA chunked
+    row pass wherever the true distance is inside the radius (outside it
+    both paths only promise >= trunc^2)."""
+    h, w, t = 96, 160, 32
+    seed = rng.rand(2, h, w) < 0.002
+    seed[1, h // 2, w // 2] = True
+    want = np.asarray(D.edt_squared(jnp.asarray(seed), chunk=t, truncate=t,
+                                    use_pallas=False))
+    import unittest.mock as mock
+    from tcvom_tpu.ops import edt_pallas as EP
+    orig = EP.edt_row_pass_fused
+    with mock.patch.object(
+            EP, "edt_row_pass_fused",
+            lambda g2, trunc: orig(g2, trunc, interpret=True)):
+        got = np.asarray(D.edt_squared(jnp.asarray(seed), chunk=t,
+                                       truncate=t, use_pallas=True))
+    inside = want <= t ** 2
+    np.testing.assert_array_equal(got[inside], want[inside])
+    assert np.all(got[~inside] >= t ** 2 * (1 - 1e-6))
