@@ -45,6 +45,11 @@ _DEFAULTS: dict[str, Any] = {
         "TOTAL_STEPS": 50,             # epochs, as in the reference
         "PRINT_FREQ": 10,
         "IMAGE_FREQ": 500,
+        # TPU-native extension (no reference analog): bf16-compute training
+        # — f32 master weights/optimizer, params+activations cast to bf16
+        # inside the step. Numerics pinned by tools/validate_bf16_train.py
+        # (committed BF16_TRAIN_GUARD.json); speed rows in BENCH_TRAIN_*.json.
+        "BF16": False,
     },
 }
 

@@ -52,12 +52,20 @@ def Conv(features: int, kernel_size, strides: int = 1, padding=0,
 def ws_standardize(kernel: jnp.ndarray) -> jnp.ndarray:
     """Weight standardization (reference models/FBA/layers_WS.py:13-23):
     re-center and divide by the per-output-channel std (unbiased, +1e-12
-    inside the sqrt, +1e-5 outside)."""
-    mean = jnp.mean(kernel, axis=(0, 1, 2), keepdims=True)
-    w = kernel - mean
+    inside the sqrt, +1e-5 outside).
+
+    Always computed in f32, cast back to the kernel dtype: the transform
+    is a cancellation (w - mean) and its VJP a projection — in bf16 the
+    projection leaks a mean-direction residual that dominates the true
+    gradient signal of every WS conv (measured: encoder grad cosines
+    ~0.03-0.16 vs f32 under the bf16 train recipe). The weight tensors are
+    tiny, so the f32 round-trip is free next to the conv itself."""
+    k32 = kernel.astype(jnp.float32)
+    mean = jnp.mean(k32, axis=(0, 1, 2), keepdims=True)
+    w = k32 - mean
     var = jnp.var(w.reshape(-1, kernel.shape[-1]), axis=0, ddof=1)
     std = jnp.sqrt(var + 1e-12) + 1e-5
-    return w / std[None, None, None, :]
+    return (w / std[None, None, None, :]).astype(kernel.dtype)
 
 
 class RawConvParams(nn.Module):

@@ -102,9 +102,17 @@ class MattingTrainer:
     def __init__(self, task_cfg: FM.TaskConfig, driver: str,
                  optimizer: str = "adam", lr_strategy: str = "const",
                  base_lr: float = 5e-4, weight_decay: float = 1e-4,
-                 total_iters: int = 100_000, remat: bool = False):
+                 total_iters: int = 100_000, remat: bool = False,
+                 compute_dtype=None):
+        """``compute_dtype=jnp.bfloat16`` enables mixed-precision training:
+        master weights, optimizer moments, and BN/EMA statistics stay f32;
+        params and the batch are cast to bf16 inside the step so the
+        forward/backward run on bf16 MXU paths (grads return f32 through
+        the cast's VJP). No loss scaling — bf16 keeps f32's exponent range.
+        Numerics guard: tools/validate_bf16_train.py."""
         self.cfg = task_cfg
         self.driver = driver
+        self.compute_dtype = compute_dtype
         self.module = registry.build_model(
             task_cfg.model, agg_window=task_cfg.agg_window,
             agg_reduction=task_cfg.agg_reduction,
@@ -147,14 +155,26 @@ class MattingTrainer:
                           model_state=model_state, opt_state=opt_state)
 
     # -- steps ---------------------------------------------------------------
+    def _cast_compute(self, tree):
+        """Float leaves -> compute dtype (identity when compute_dtype=None)."""
+        if self.compute_dtype is None:
+            return tree
+        cd = self.compute_dtype
+        return jax.tree.map(
+            lambda a: a.astype(cd)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: TrainState, batch, rng):
         # False (not []) when the model has no mutable collections (e.g.
         # FBA: GroupNorm only) — flax returns a bare output then
         mutable_keys = list(state.model_state.keys()) or False
+        batch = self._cast_compute(batch)
+        f32_state = state.model_state
 
         def loss_fn(params):
-            variables = {"params": params, **state.model_state}
+            variables = {"params": self._cast_compute(params),
+                         **self._cast_compute(f32_state)}
             losses, aux, new_state = self._forward(
                 self.module, variables, rng, batch, self.cfg, train=True,
                 mutable=mutable_keys)
@@ -163,6 +183,12 @@ class MattingTrainer:
 
         (total, (losses, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        if self.compute_dtype is not None and new_state is not None:
+            # updated BN/EMA stats come back in compute dtype; restore the
+            # f32 master dtype (the moments themselves were computed from
+            # bf16 batch stats — pinned by the train numerics guard)
+            new_state = jax.tree.map(
+                lambda new, old: new.astype(old.dtype), new_state, f32_state)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"loss": total, **losses,

@@ -9,10 +9,11 @@ Configs (reference cfgs/, 4-GPU DDP in the reference, one chip here):
 - vmn_dim  video trainer, b=4, 512x512, S=5
   (cfgs/vmd_vmn_dim_pretrained_30ep.yaml)
 
-Extra datapoints per config: --remat (encoder rematerialization) and a
-bf16-compute variant (bf16 params/activations, f32 still used by the
-optimizer since params are cast per-step — a compute-cost probe, not a
-mixed-precision training recipe).
+Extra datapoints per config: --remat (encoder rematerialization) and the
+production bf16 mixed-precision recipe (TRAIN.BF16 /
+``MattingTrainer(compute_dtype=bfloat16)``: f32 master weights/optimizer/
+EMA, bf16 params+activations inside the step; numerics guard
+tools/validate_bf16_train.py -> BF16_TRAIN_GUARD.json).
 
 FLOPs come from XLA's own cost analysis of the compiled train step, so
 achieved TFLOP/s = cost_analysis flops / measured step time is honest
@@ -64,24 +65,17 @@ def bench_one(model, driver, b, s, hw, remat, iters, bf16=False):
     from tcvom_tpu.train.trainer import MattingTrainer
 
     h, w = hw
+    # bf16 rows measure the PRODUCTION mixed-precision recipe (TRAIN.BF16:
+    # f32 master weights/optimizer/EMA, bf16 params+activations inside the
+    # step; numerics guard tools/validate_bf16_train.py)
     trainer = MattingTrainer(TaskConfig(model=model, agg_window=7), driver,
                              lr_strategy="poly", base_lr=1e-4,
-                             total_iters=100_000, remat=remat)
+                             total_iters=100_000, remat=remat,
+                             compute_dtype=jnp.bfloat16 if bf16 else None)
     rng = np.random.RandomState(0)
     batch = make_batch(rng, b, s, h, w)
     key = jax.random.PRNGKey(0)
     state = trainer.init_state(key, batch)
-    if bf16:
-        # compute-cost probe: bf16 params/activations end to end (the
-        # optimizer moments stay f32 from init; optax.apply_updates keeps
-        # the param dtype). Not a production mixed-precision recipe —
-        # BN EMA stats also quantize to bf16 here.
-        def f(a):
-            return (a.astype(jnp.bfloat16)
-                    if jnp.issubdtype(a.dtype, jnp.floating) else a)
-        state = state.replace(params=jax.tree.map(f, state.params),
-                              model_state=jax.tree.map(f, state.model_state))
-        batch = jax.tree.map(f, batch)
 
     # jit the step through the trainer's own path; pull XLA's FLOP count
     # from the compiled executable
