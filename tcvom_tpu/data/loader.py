@@ -2,7 +2,8 @@
 
 The TPU-native replacement for the reference's DataLoader +
 DistributedSampler (train_ddp.py:171-176, 233-240): a single-controller
-process strides the globally-shuffled index list by ``jax.process_index()``
+process takes its per-batch contiguous block of the globally-shuffled
+index list by ``jax.process_index()`` (see ``epoch_indices``)
 and worker threads run the cv2 pipeline (cv2 releases the GIL, so threads
 scale like the reference's worker processes without fork hazards).
 """
@@ -17,17 +18,37 @@ import numpy as np
 
 def epoch_indices(n: int, epoch: int, shuffle: bool, seed: int = 0,
                   num_shards: int = 1, shard: int = 0,
-                  drop_last: bool = True) -> np.ndarray:
-    """Deterministic per-epoch shuffle, padded & strided across shards —
+                  drop_last: bool = True, block: int = 1) -> np.ndarray:
+    """Deterministic per-epoch shuffle, padded (wrapping) & sharded —
     DistributedSampler semantics (same list on every process, disjoint
-    slices)."""
+    slices).
+
+    ``block``: each shard takes contiguous runs of ``block`` out of every
+    ``num_shards * block`` chunk. With block = the per-process batch size,
+    the concatenation of all processes' k-th batches equals the k-th
+    global batch of a single-process run — the global sample ORDER is
+    placement-invariant, so per-position preprocessing randomness (e.g.
+    the per-sample trimap dilation radius) pairs with the same sample on
+    any process count and losses match exactly (test_multihost.py).
+    ``block=1`` is plain DistributedSampler striding.
+
+    ``drop_last=True`` (the training loaders) wraps the list up to a full
+    chunk even at ``num_shards=1``: DistributedSampler pads rather than
+    drops (the reference applies it unconditionally, train_ddp.py:171-176),
+    so a 4-device single-process epoch sees the same wrapped global
+    batches as 2 coordinated processes of 2 devices — and the same step
+    count. ``drop_last=False`` (eval/pred loaders, which the reference
+    drives without a sampler) never wraps at num_shards=1, so inference
+    outputs are not duplicated."""
     idx = np.arange(n)
     if shuffle:
         idx = np.random.RandomState(seed + epoch).permutation(n)
-    if num_shards > 1:
-        total = ((n + num_shards - 1) // num_shards) * num_shards
-        idx = np.concatenate([idx, idx[: total - n]])
-        idx = idx[shard::num_shards]
+    if num_shards > 1 or (drop_last and n % (num_shards * block)):
+        chunk = num_shards * block
+        total = ((n + chunk - 1) // chunk) * chunk
+        reps = -(-(total - n) // max(n, 1)) + 1
+        idx = np.tile(idx, reps)[:total]
+        idx = idx.reshape(-1, num_shards, block)[:, shard].reshape(-1)
     return idx
 
 
@@ -56,13 +77,15 @@ class DataLoader:
 
     def __len__(self):
         n = len(epoch_indices(len(self.dataset), 0, False,
-                              num_shards=self.num_shards, shard=self.shard))
+                              num_shards=self.num_shards, shard=self.shard,
+                              drop_last=self.drop_last,
+                              block=self.batch_size))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
         idx = epoch_indices(len(self.dataset), self.epoch, self.shuffle,
                             self.seed, self.num_shards, self.shard,
-                            self.drop_last)
+                            self.drop_last, block=self.batch_size)
         nb = len(idx) // self.batch_size if self.drop_last else \
             -(-len(idx) // self.batch_size)
         batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]

@@ -45,10 +45,32 @@ def batch_sharding(mesh: Mesh, ndim: int, space_axis: int | None = None
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch pytree with dim-0 sharded over 'data'."""
+    """Device-put a host batch pytree with dim-0 sharded over 'data'.
+
+    Multi-process: each process passes its PER-PROCESS batch slice (the
+    loader's shard) and the global array is assembled across processes —
+    the analog of DDP's per-rank batches. ``jax.device_put`` would instead
+    treat the local array as the full global value, silently feeding every
+    process the wrong samples."""
+    multiproc = jax.process_count() > 1
+
     def put(x):
-        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+        s = batch_sharding(mesh, np.ndim(x))
+        if multiproc:
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
+        return jax.device_put(x, s)
     return jax.tree.map(put, batch)
+
+
+def local_data(x) -> np.ndarray:
+    """Fetch this process's slice of a global batch-sharded array (the
+    addressable shards, concatenated along dim 0) — for host-side output
+    like image dumps, where the reference wrote rank-0's local batch."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shards = sorted(x.addressable_shards,
+                        key=lambda sh: sh.index[0].start or 0)
+        return np.concatenate([np.asarray(sh.data) for sh in shards], axis=0)
+    return np.asarray(x)
 
 
 def pad_shard_batch(batch, mesh: Mesh, space_axis: int | None = None):
@@ -78,6 +100,12 @@ def pad_shard_batch(batch, mesh: Mesh, space_axis: int | None = None):
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree (params/state) over the mesh."""
+    """Fully replicate a pytree (params/state) over the mesh. In
+    multi-process, every process passes the same host values (same seed /
+    same checkpoint) and the global replicated arrays are assembled from
+    the identical local copies."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), tree)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -49,13 +49,17 @@ class _DS:
 
 
 def test_loader_batches():
+    # training loaders (drop_last=True) WRAP the tail to a full batch —
+    # DistributedSampler pads rather than drops (train_ddp.py:171-176), and
+    # wrapping at num_shards=1 keeps the step count and the global batches
+    # identical to any multi-process placement (test_multihost.py)
     dl = DataLoader(_DS(), batch_size=4, shuffle=False, num_workers=2,
                     drop_last=True)
     batches = list(dl)
-    assert len(batches) == 3 == len(dl)
+    assert len(batches) == 4 == len(dl)
     assert batches[0]["x"].shape == (4, 2, 2)
     got = sorted(int(i) for b in batches for i in b["idx"])
-    assert got == list(range(12))
+    assert got == sorted(list(range(13)) + [0, 1, 2])   # wrapped tail
 
 
 def test_loader_prefetch_bound():

@@ -18,6 +18,21 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# pod-slice (multi-host) wiring: one controller process per host, must run
+# BEFORE anything touches the XLA backend — the model modules build jnp
+# constants at import time. Reads JAX_COORDINATOR_ADDRESS /
+# JAX_NUM_PROCESSES / JAX_PROCESS_ID (real TPU pods can rely on the TPU
+# metadata instead and leave the last two unset). The reference's analog
+# is torch.distributed env:// rendezvous (train_ddp.py:202-204).
+if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    jax.distributed.initialize(
+        coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+        num_processes=int(os.environ["JAX_NUM_PROCESSES"])
+        if os.environ.get("JAX_NUM_PROCESSES") else None,
+        process_id=int(os.environ["JAX_PROCESS_ID"])
+        if os.environ.get("JAX_PROCESS_ID") else None)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,18 +72,16 @@ def build_argparser():
 
 def main():
     args = build_argparser().parse_args()
-    # pod-slice (multi-host) wiring: one controller process per host.
-    # jax.distributed.initialize() reads JAX_COORDINATOR_ADDRESS /
-    # JAX_NUM_PROCESSES / JAX_PROCESS_ID (or the TPU metadata on real
-    # pods); after it, jax.devices() spans the slice, the Mesh covers all
-    # chips, and the loader below shards by jax.process_index(). The
-    # reference's analog is torch.distributed env:// rendezvous
-    # (train_ddp.py:202-204).
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    # after the module-level jax.distributed.initialize, jax.devices()
+    # spans the slice, the Mesh covers all chips, and the loader below
+    # shards by jax.process_index()
+    rank = jax.process_index()
     cfg = load_config(args.cfg, args.opts)
     cfg_name = os.path.splitext(os.path.basename(args.cfg))[0] + cfg.SYSTEM.EXP_SUFFIX
-    logger, outdir = create_logger(cfg.SYSTEM.OUTDIR, cfg_name, "train")
+    # non-zero ranks log to their own file (phase suffix) so the main log
+    # stays single-writer, like the reference's rank-0 logging
+    logger, outdir = create_logger(cfg.SYSTEM.OUTDIR, cfg_name,
+                                   "train" if rank == 0 else f"train_p{rank}")
     cfg.dump(os.path.join(outdir, "config.yaml"))
     logger.info("config:\n%s", cfg)
 
@@ -95,8 +108,13 @@ def main():
             min_shape=cfg.TRAIN.MIN_EDGE_LENGTH, plus1=False, seed=seed)
         val_ds = None
 
+    # the loader's batch_size is PER PROCESS (its index list is already
+    # strided across processes); the devices of this process consume it and
+    # GSPMD sees the concatenation as the global batch of size
+    # per_gpu * n_dev — the reference's per-rank batches under DDP
+    local_bs = cfg.TRAIN.BATCH_SIZE_PER_GPU * jax.local_device_count()
     global_bs = cfg.TRAIN.BATCH_SIZE_PER_GPU * n_dev
-    train_loader = DataLoader(train_ds, global_bs, shuffle=True,
+    train_loader = DataLoader(train_ds, local_bs, shuffle=True,
                               num_workers=cfg.SYSTEM.NUM_WORKERS, seed=seed,
                               num_shards=jax.process_count(),
                               shard=jax.process_index())
@@ -110,7 +128,9 @@ def main():
                              lr_strategy=cfg.TRAIN.LR_STRATEGY,
                              base_lr=cfg.TRAIN.BASE_LR,
                              weight_decay=cfg.TRAIN.WEIGHT_DECAY,
-                             total_iters=total_iters, remat=args.remat)
+                             total_iters=total_iters, remat=args.remat,
+                             compute_dtype=jnp.bfloat16
+                             if cfg.TRAIN.BF16 else None)
 
     key = jax.random.PRNGKey(seed)
     sample = next(iter(train_loader))
@@ -145,6 +165,12 @@ def main():
         logger.info("=> resumed full train state from %s (step %d, "
                     "epoch %d)", cfg.TRAIN.LOAD_OPT,
                     int(np.asarray(state.step)), start_epoch)
+
+    # place the (identical-on-every-process) state onto the mesh as global
+    # replicated arrays; required before mixing with multi-process global
+    # batches, a no-op data-wise on one process
+    from tcvom_tpu.parallel import replicate
+    state = replicate(state, mesh)
 
     losses_fmt = (["L_alpha", "L_comp", "L_grad"]
                   if task.method != "fba" else
@@ -183,18 +209,26 @@ def main():
                 logger.info(msg)
 
             if i_iter % cfg.TRAIN.IMAGE_FREQ == 0:
+                from tcvom_tpu.parallel import local_data
                 from tcvom_tpu.utils.visualize import write_training_images
                 key, sub = jax.random.split(key)
-                aux = jax.device_get(trainer.vis_step(state, dev_batch, sub))
-                write_training_images(os.path.join(outdir, "training_images"),
-                                      aux, epoch * steps_per_epoch + i_iter)
+                aux = trainer.vis_step(state, dev_batch, sub)
+                # rank 0 dumps its local slice of the global batch (the
+                # reference wrote rank-0's per-rank batch under DDP)
+                aux = jax.tree.map(local_data, aux)
+                if rank == 0:
+                    write_training_images(
+                        os.path.join(outdir, "training_images"), aux,
+                        epoch * steps_per_epoch + i_iter)
 
         # validation L_dt indicator (epochs >= 15, train_ddp.py:322)
         val_loss = best_loss
         if val_ds is not None and epoch >= 15 and args.driver == "vmd":
-            val_loader = DataLoader(val_ds, global_bs, shuffle=False,
+            val_loader = DataLoader(val_ds, local_bs, shuffle=False,
                                     num_workers=cfg.SYSTEM.NUM_WORKERS,
-                                    drop_last=True)
+                                    drop_last=True,
+                                    num_shards=jax.process_count(),
+                                    shard=jax.process_index())
             meter = AverageMeter()
             # per-epoch pred/tri/gt triplets for the first few val batches
             # (the reference's validate() image dumps, train_ddp.py:129-138)
@@ -208,23 +242,34 @@ def main():
                 l_dt, (pred_c, tri_c, gt_c) = trainer.val_dt_step(
                     state, dev_batch, sub)
                 meter.update(float(l_dt))
-                if bi < args.val_image_batches:
-                    dumped = write_val_triplets(val_img_dir, pred_c, tri_c,
-                                                gt_c, dumped)
+                if bi < args.val_image_batches and rank == 0:
+                    from tcvom_tpu.parallel import local_data
+                    dumped = write_val_triplets(
+                        val_img_dir, local_data(pred_c), local_data(tri_c),
+                        local_data(gt_c), dumped)
             val_loss = meter.average()
             logger.info("epoch %d val L_dt: %.6f", epoch, val_loss)
 
+        # every process enters the save: orbax's Checkpointer.save holds
+        # internal all-process barriers (gating to rank 0 deadlocks rank 0,
+        # observed with a 2-process CPU run) and writes single-writer from
+        # the primary host — the reference's rank<=0 torch.save
+        # (train_ddp.py:331-343)
         ckpt_fn = os.path.join(outdir, f"checkpoint_{epoch + 1}")
         save_checkpoint(ckpt_fn, {"step": state.step, "params": state.params,
                                   "model_state": state.model_state,
                                   "opt_state": state.opt_state})
-        logger.info("=> saved checkpoint to %s", ckpt_fn)
+        if rank == 0:
+            logger.info("=> saved checkpoint to %s", ckpt_fn)
+        # val_loss is a global-batch mean, identical on every process, so
+        # all ranks agree on whether to enter the collective save
         if val_loss < best_loss:
             best_loss = val_loss
             save_checkpoint(os.path.join(outdir, "best"),
                             {"step": state.step, "params": state.params,
                              "model_state": state.model_state})
-            logger.info("=> new minimum loss. saved best")
+            if rank == 0:
+                logger.info("=> new minimum loss. saved best")
     logger.info("Time: %d sec.", int(time.time() - tic0))
     logger.info("Done")
 
