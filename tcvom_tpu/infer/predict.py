@@ -142,6 +142,10 @@ class StreamingPredictor:
 
     def _encode_impl(self, variables, img, tri):
         cfg = self.cfg
+        # accept uint8 frames (the wild-folder path ships uint8 to the
+        # device and casts here, on the device) as well as f32
+        img = img.astype(jnp.float32)
+        tri = tri.astype(jnp.float32)
         pre = FM.preprocess_eval(img[:, None], tri[:, None], cfg)
         inputs = jnp.concatenate([pre["imgs"], pre["tris"]], axis=-1)[:, 0]
         extras = None
@@ -241,6 +245,25 @@ class TestFolder:
                          cv2.IMREAD_GRAYSCALE)
         return np.float32(img), np.float32(tri)[..., None]
 
+    def read_frame(self, i):
+        """One padded frame pair (the streaming path decodes each PNG once;
+        the triplet ``__getitem__`` is for the single-frame batch path).
+
+        Stays uint8 end to end: the f32 cast happens on device inside the
+        encode step, so the host skips two 25 MB float conversions+pads and
+        the host->device transfer ships 8 MB instead of 33 MB — on a
+        1-core host feeding through a tunnel both are on the critical
+        path."""
+        name = self.names[i]
+        img = cv2.imread(os.path.join(self.root, name + "_rgb.png"),
+                         cv2.IMREAD_COLOR)
+        tri = cv2.imread(os.path.join(self.root, name + "_trimap.png"),
+                         cv2.IMREAD_GRAYSCALE)[..., None]
+        h, w = img.shape[:2]
+        ph, pw = (-h) % 32, (-w) % 32
+        pad = lambda t: np.pad(t, ((0, ph), (0, pw), (0, 0)))
+        return pad(img)[None], pad(tri)[None], (h, w), name
+
     def __getitem__(self, i):
         idxs = [max(i - 1, 0), i, min(i + 1, len(self.names) - 1)]
         imgs, tris = zip(*[self._read(j) for j in idxs])
@@ -257,10 +280,12 @@ class TestFolder:
 
 
 def predict_test_folder(module, variables, cfg: FM.TaskConfig, in_dir: str,
-                        out_dir: str, progress: Callable | None = None):
+                        out_dir: str, progress: Callable | None = None,
+                        dtype=None):
     """EvalModel inference over a wild folder; writes <name>_alpha.png
     (reference pred_test.py:86-116). VMN models run the streaming pipeline
-    (one encode per frame); single-frame models run per-frame."""
+    (one encode per frame); single-frame models run per-frame.
+    ``dtype=jnp.bfloat16`` selects the guarded bf16 compute path."""
     folder = TestFolder(in_dir)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -270,26 +295,71 @@ def predict_test_folder(module, variables, cfg: FM.TaskConfig, in_dir: str,
                     np.uint8(np.clip(np.asarray(alpha)[0, :h, :w, 0], 0, 1) * 255))
 
     if cfg.is_vmn:
-        sp = StreamingPredictor(module, variables, cfg)
+        # host pipeline: a bounded prefetch thread decodes frame i+k while
+        # the device mattes frame i (each PNG decoded exactly once), and a
+        # writer thread fetches mattes + runs the (even costlier) PNG
+        # encodes off the loop — the main loop never blocks on the device,
+        # so dispatches pipeline through the tunnel. The reference leaned
+        # on 8-16 DataLoader workers for the same overlap
+        # (SYSTEM.NUM_WORKERS); this host has few cores, so one decoder +
+        # one writer thread with depth-4 queues is the right size.
+        import queue as _queue
+        import threading
+        q: "_queue.Queue" = _queue.Queue(maxsize=4)
+        wq: "_queue.Queue" = _queue.Queue(maxsize=4)
+
+        # device-side quantization: ships 2 MB uint8 per matte instead of
+        # 8 MB f32 and skips the host's clip/scale over a full frame.
+        # jnp.floor matches np.uint8()'s truncation of the f32 product
+        # byte for byte (XLA's raw f32->u8 convert would round-to-nearest).
+        to_u8 = jax.jit(
+            lambda a: jnp.floor(jnp.clip(a, 0.0, 1.0) * 255.0)
+            .astype(jnp.uint8))
+
+        def consume():
+            while True:
+                item = wq.get()
+                if item is None:
+                    return
+                name, alpha_u8, hw = item
+                h, w = hw
+                cv2.imwrite(os.path.join(out_dir, name + "_alpha.png"),
+                            np.asarray(alpha_u8)[0, :h, :w, 0])
+
+        writer = threading.Thread(target=consume, daemon=True)
+        writer.start()
+
+        def produce():
+            for i in range(len(folder)):
+                q.put(folder.read_frame(i))
+            q.put(None)
+
+        threading.Thread(target=produce, daemon=True).start()
+        sp = StreamingPredictor(module, variables, cfg, dtype=dtype)
         state = None
         pending = []        # (name, orig_hw) awaiting their matte
-        for i in range(len(folder)):
-            item = folder[i]
-            img = item["imgs"][1][None]          # the new frame
-            tri = item["tris"][1][None]
+        i = 0
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            img, tri, hw, name = item
             state, out = sp.step(state, img, tri)
-            pending.append((item["name"], tuple(item["orig_hw"])))
+            pending.append((name, hw))
             if out is not None:
                 alpha = out[0] if isinstance(out, tuple) else out
                 name, hw = pending.pop(0)
-                write(name, alpha, hw)
+                wq.put((name, to_u8(alpha), hw))
                 if progress:
                     progress(i, len(folder))
+            i += 1
         if state is not None and pending:
             out = sp.flush(state)
             alpha = out[0] if isinstance(out, tuple) else out
             name, hw = pending.pop(0)
-            write(name, alpha, hw)
+            wq.put((name, to_u8(alpha), hw))
+        wq.put(None)
+        writer.join()
         return
 
     step = jax.jit(lambda v, imgs, tris: FM.forward_eval(module, v, imgs, tris, cfg))

@@ -36,6 +36,8 @@ def parse_args():
                         "the provided trimaps (reference pred_test.py:149; "
                         "the reference's dilate_kernel is a radius, "
                         "models/model.py:62-64)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute (numerics pinned by bf16_guard.json)")
     p.add_argument("videos", nargs="*",
                    help="video subfolders of --data to process (default: "
                         "all, or --data itself if it holds frames directly)")
@@ -78,7 +80,8 @@ def main():
     for in_dir, out_dir in runs:
         print(f"== {in_dir} -> {out_dir}")
         predict_test_folder(module, variables, cfg, in_dir, out_dir,
-                            progress=lambda i, n: print(f"{i + 1}/{n}"))
+                            progress=lambda i, n: print(f"{i + 1}/{n}"),
+                            dtype=jnp.bfloat16 if args.bf16 else None)
 
 
 if __name__ == "__main__":
