@@ -98,14 +98,48 @@ def main():
     a32 = stream(module, variables, cfg, clip, None)
     a16 = stream(module, variables, cfg, clip, jnp.bfloat16)
 
+    # tie-chaos CONTROL: f32 COMPUTE with params and inputs round-tripped
+    # through bf16 once. A random-init hard attention (GCA) or saturated
+    # tanh picks among near-tied candidates, so the ~0.4% relative rounding
+    # of merely STORING features/weights in bf16 re-rolls a set of isolated
+    # winners no matter how the network then computes (the f32-vs-f32
+    # packed_vs_direct flips in tpu_selfcheck are the same phenomenon).
+    # Flips the control also produces are inherent to the bf16
+    # representation; the gate checks the bf16 compute path adds no more.
+    q = lambda t: jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16).astype(jnp.float32)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, t)
+    clip_p = [(np.float32(jnp.asarray(img, jnp.bfloat16)), tri, a)
+              for img, tri, a in clip]
+    a32p = stream(module, q(variables), cfg, clip_p, None)
+
+    # the streaming predictor pastes trimap values outside the unknown
+    # region (EvalModel semantics, reference models/model.py:413-424), so
+    # any f32/bf16 difference can only live inside it. Normalize the flip
+    # fractions by the UNKNOWN area — whole-frame normalization overstated
+    # the margin by the known/unknown ratio — and assert the pasted region
+    # is bit-equal (a diff there means the pasting itself broke).
+    unknown = np.stack([np.asarray(c[1][0, ..., 0]) == 128.0
+                        for c in clip])[..., None]       # [T, H, W, 1]
     d = np.abs(a32 - a16)
-    flip = d > 0.5                                       # [T, H, W, 1]
-    transitional = (a32 > 0.05) & (a32 < 0.95)
+    assert float(d[~unknown].max(initial=0.0)) == 0.0, \
+        "f32/bf16 differ in the pasted (known) region"
+    n_unk = max(int(unknown.sum()), 1)
+    flip = (d > 0.5) & unknown
+    transitional = (a32 > 0.05) & (a32 < 0.95) & unknown
+    dc = np.abs(a32 - a32p)
+    flip_ctrl = (dc > 0.5) & unknown
+    ctrl_saturated = float((flip_ctrl & ~transitional).sum() / n_unk)
+    ctrl_transitional = float((flip_ctrl & transitional).sum() / n_unk)
+    soft_ctrl = dc[transitional]
+    ctrl_p999_soft = (float(np.quantile(soft_ctrl, 0.999))
+                      if soft_ctrl.size else 0.0)
     report = {
         "model": name, "frames": args.frames, "hw": [h, w],
+        "unknown_frac": float(unknown.mean()),
         "mean_abs_dalpha": float(d.mean()),
         "max_abs_dalpha": float(d.max()),
-        "p999_abs_dalpha": float(np.quantile(d, 0.999)),
+        "p999_abs_dalpha": float(np.quantile(d[unknown], 0.999)),
         # locality metrics: a mean-only gate can hide a handful of pixels
         # flipping alpha completely. Flips split by the f32 pixel state:
         # - transitional (0.05<a32<0.95): bf16 pushed a genuinely soft
@@ -117,31 +151,50 @@ def main():
         #   winner (measured: GCA is bitwise-equal on 99.94% of pixels,
         #   p999 = 0, every diff a full flip). Trained weights keep logits
         #   moderate; gated loosely as a canary.
-        "frac_flip": float(flip.mean()),
-        "frac_flip_transitional": float((flip & transitional).mean()),
-        "frac_dalpha_gt_0.25": float((d > 0.25).mean()),
+        "frac_flip": float(flip.sum() / n_unk),
+        "frac_flip_transitional": float((flip & transitional).sum() / n_unk),
+        "frac_dalpha_gt_0.25": float(((d > 0.25) & unknown).sum() / n_unk),
         "dtssd_f32": round(dtssd(a32, gts), 4),
         "dtssd_bf16": round(dtssd(a16, gts), 4),
     }
     report["frac_flip_saturated"] = report["frac_flip"] - \
         report["frac_flip_transitional"]
+    # soft-pixel fidelity: the p99.9 delta over unknown pixels that are in
+    # a genuinely soft f32 state — where a delta means gradient damage
+    # rather than a tie re-roll
+    soft = d[transitional]
+    report["p999_soft"] = float(np.quantile(soft, 0.999)) if soft.size else 0.0
+    report["ctrl"] = {"frac_flip_saturated": ctrl_saturated,
+                      "frac_flip_transitional": ctrl_transitional,
+                      "p999_soft": ctrl_p999_soft}
     report["dtssd_rel_delta"] = abs(
         report["dtssd_bf16"] - report["dtssd_f32"]) / max(
         report["dtssd_f32"], 1e-9)
-    # gates: (1) headline temporal metric moves <1% (BASELINE.md parity
-    # tolerance); (2) worst-case locality per the split above; (3) the
-    # p99.9 pixel moves <0.1. Locality thresholds sit ~1.7x above the
-    # values measured at random init (fba transitional 5.9e-6 — isolated
-    # pixels where bf16 feature rounding meets a steep head response, not
-    # the f32 fusion solve, verified by running the solve in f32; gca
-    # saturated 6.4e-4 — hard-attention tie flips). Random init is the
-    # steep-response worst case (unnormalized activations); a genuine
-    # bf16-path regression moves these fractions by orders of magnitude.
+    # gates (all statistics normalized by the UNKNOWN area, the only region
+    # that survives EvalModel pasting):
+    # (1) headline temporal metric moves <1% (BASELINE.md parity tolerance);
+    # (2)-(4) locality stats, each gated at <=3x the STORAGE CONTROL (or an
+    # absolute floor when the control is ~0). Whatever the control also
+    # produces is the unavoidable cost of representing weights/features in
+    # bf16 at all — e.g. GCA's random-init hard attention re-rolls argmax
+    # ties among thousands of near-tied candidates under ANY ~0.4%-relative
+    # rounding, and FBA's steep random-init head pushes a handful of soft
+    # pixels to a pole. The gates therefore pin the bf16 COMPUTE path
+    # (accumulation/fusion numerics) to add at most 3x over representation
+    # cost; a genuine compute-path regression shows up orders of magnitude
+    # above the control.
+    sat_gate = max(1e-3, 3.0 * ctrl_saturated)
+    tra_gate = max(1e-5, 3.0 * ctrl_transitional)
+    soft_gate = max(0.1, 3.0 * ctrl_p999_soft)
+    report["gate_values"] = {"saturated": sat_gate, "transitional": tra_gate,
+                             "p999_soft": soft_gate}
     gates = {
         "dtssd_rel_delta<0.01": report["dtssd_rel_delta"] < 0.01,
-        "frac_flip_transitional<1e-5": report["frac_flip_transitional"] < 1e-5,
-        "frac_flip_saturated<1e-3": report["frac_flip_saturated"] < 1e-3,
-        "p999<0.1": report["p999_abs_dalpha"] < 0.1,
+        "frac_flip_transitional<max(1e-5,3*ctrl)":
+            report["frac_flip_transitional"] < tra_gate,
+        "frac_flip_saturated<max(1e-3,3*ctrl)":
+            report["frac_flip_saturated"] < sat_gate,
+        "p999_soft<max(0.1,3*ctrl)": report["p999_soft"] < soft_gate,
     }
     report["gates"] = {k: bool(v) for k, v in gates.items()}
     report["ok"] = all(gates.values())
