@@ -45,11 +45,14 @@ def _edt_row_kernel(g_hbm, out_ref, scratch, sem, *, trunc: int,
                  pl.ds(ir * R_TILE, R_TILE)], scratch, sem)
     copy.start()
     copy.wait()
-    roll = jnp.roll if interpret else pltpu.roll
     g = scratch[:]                           # [w_tile + 2T, R_TILE]
     # 8 phase-rolled copies: phase[b][i] = g[i + b], so g[8m + b + t] is
-    # the sublane-aligned slice phase[b][8m + t] for any output span t
-    phases = [g] + [roll(g, shift=-b, axis=0) for b in range(1, 8)]
+    # the sublane-aligned slice phase[b][8m + t] for any output span t.
+    # pltpu.roll rejects negative shifts, so the left-roll by b is
+    # expressed as the equivalent positive roll by (n - b).
+    n = g.shape[0]
+    roll = jnp.roll if interpret else pltpu.roll
+    phases = [g] + [roll(g, shift=n - b, axis=0) for b in range(1, 8)]
 
     acc = g[trunc:trunc + w_tile]            # d = 0 candidate (T % 8 == 0)
     for d in range(1, trunc + 1):
