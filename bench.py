@@ -72,7 +72,10 @@ def main():
     import os
     from tcvom_tpu.infer.predict import StreamingPredictor
     dtype = None if os.environ.get("BENCH_DTYPE") == "f32" else jnp.bfloat16
-    sp = StreamingPredictor(module, variables, cfg, dtype=dtype)
+    # fgbg=False matches the production matte path (pred_test writes only
+    # alpha PNGs, like the reference's pred_test.py:86-116); FBA's F/B
+    # pastes and subpixel unpacks are dead code inside the decode jit
+    sp = StreamingPredictor(module, variables, cfg, dtype=dtype, fgbg=False)
 
     # warmup / compile (2 steps exercise both jitted paths)
     state, _ = sp.step(None, img, tri)

@@ -106,10 +106,18 @@ class StreamingPredictor:
             if out is not None: ...      # matte for the previous frame
     """
 
-    def __init__(self, module, variables, cfg: FM.TaskConfig, dtype=None):
+    def __init__(self, module, variables, cfg: FM.TaskConfig, dtype=None,
+                 fgbg: bool = True):
         """``dtype=jnp.bfloat16`` runs the network in bf16 (params cast
         once, activations bf16, preprocessing and output pasting stay f32)
         — ~half the HBM traffic. Default f32 preserves reference numerics.
+
+        ``fgbg=False`` (FBA only) returns just the alpha matte instead of
+        (alpha, F, B): the F/B pastes, clips, and — with the packed-space
+        fusion solve — their 48-channel subpixel unpacks become dead code
+        inside the decode jit. The wild-folder path (pred_test) writes
+        only alpha PNGs, matching the reference's outputs
+        (pred_test.py:86-116).
 
         The encode->decode boundary carries only what decode reads: the
         enc pytree is pruned to the head's inputs (``prune_enc_head`` —
@@ -124,6 +132,7 @@ class StreamingPredictor:
         assert cfg.is_vmn, "streaming pipeline drives VMN models"
         self.module = module
         self.dtype = dtype
+        self.fgbg = fgbg
         self.variables = (jax.tree.map(
             lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating)
             else a, variables) if dtype is not None else variables)
@@ -179,7 +188,7 @@ class StreamingPredictor:
             method=type(self.module).decode_window_qkv)
         mask = cur["trimask"] > 0.5
         alpha = jnp.where(mask, pred[..., 0:1], cur["gt_tri"])
-        if cfg.method == "fba":
+        if cfg.method == "fba" and self.fgbg:
             f = jnp.where(mask, pred[..., 1:4], cur["scaled_img"])
             b = jnp.where(mask, pred[..., 4:7], cur["scaled_img"])
             return alpha, f, b
@@ -335,7 +344,8 @@ def predict_test_folder(module, variables, cfg: FM.TaskConfig, in_dir: str,
             q.put(None)
 
         threading.Thread(target=produce, daemon=True).start()
-        sp = StreamingPredictor(module, variables, cfg, dtype=dtype)
+        sp = StreamingPredictor(module, variables, cfg, dtype=dtype,
+                                fgbg=False)
         state = None
         pending = []        # (name, orig_hw) awaiting their matte
         i = 0

@@ -9,6 +9,8 @@ bg/fg(2); output is 7 channels (alpha, F, B). NHWC.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -211,28 +213,35 @@ def _fba_tail_fast16(h4, skip2, ex_parts, p):
                       + sp.tile_bias16(p["b41"]), 0.01)
     e = (sp.conv2d(d, sp.rep16_1x1_kernel(p["w42"]), padding=0)
          + sp.tile_bias16(p["b42"]))
-    return sp.d4s(e, prefer_reshape=True), gn_stats
+    return e, gn_stats
 
 
-def _fba_tail(h4, skip2, ex_parts, p, ring: int = 8, force_fast=None):
-    """Fast tail + exact border ring stitched from the reference-shaped
-    path (upsample edge-clamp and conv zero-pad do not commute with the
-    subpixel composition on a <=7px OS=1 ring; ``ring``=8 is margin).
-    GroupNorm strips reuse the full-image statistics. ``ex_parts`` is the
-    tuple (raw rgb, image, 2ch trimap) — concatenated lazily so the fast
-    path never materializes the thin full-res concat."""
+def _tail_fast_ok(h4, ex_parts, ring: int = 8, force_fast=None) -> bool:
+    """Whether the 16-pack tail path applies (TPU backend, grid large
+    enough for the border-strip extents, full-res dims 4-aligned)."""
     s4 = (ring + 1) // 4 + 4                              # strip extent, OS=4
     fast_ok = (jax.default_backend() == "tpu" if force_fast is None
                else force_fast)
-    fast_ok = (fast_ok and h4.shape[-3] >= 2 * s4
-               and h4.shape[-2] >= 2 * s4
-               and ex_parts[0].shape[-3] % 4 == 0
-               and ex_parts[0].shape[-2] % 4 == 0)
-    if not fast_ok:
-        ex1 = jnp.concatenate(ex_parts, axis=-1)
-        return _fba_tail_slow(h4, skip2, ex1, p)
-    out, gn_stats = _fba_tail_fast16(h4, skip2, ex_parts, p)
-    s2, s1, r = 2 * s4, 4 * s4, ring
+    return bool(fast_ok and h4.shape[-3] >= 2 * s4
+                and h4.shape[-2] >= 2 * s4
+                and ex_parts[0].shape[-3] % 4 == 0
+                and ex_parts[0].shape[-2] % 4 == 0)
+
+
+def _fba_tail_packed(h4, skip2, ex_parts, p, ring: int = 8):
+    """16-pack tail with the border ring stitched IN PACKED SPACE: the
+    slow-path strips (full-res, ``ring`` px) are s4d-packed (a pure
+    permutation) and written over the packed border rows/cols — the same
+    full-res pixels the unpacked stitch wrote, so ``d4s`` of this equals
+    the old stitch-after-unpack exactly. Keeping the tail output packed
+    lets the consumer run the (pointwise) fusion solve on the quarter
+    grid and unpack only the channels it actually needs — when only alpha
+    survives (streaming inference) the F/B unpacks are dead code to XLA.
+    ``ring`` must be a multiple of 4 (packed-row granularity)."""
+    assert ring % 4 == 0, ring
+    e, gn_stats = _fba_tail_fast16(h4, skip2, ex_parts, p)
+    s4 = (ring + 1) // 4 + 4
+    s2, s1, r, rq = 2 * s4, 4 * s4, ring, ring // 4
     n = h4.shape[0]
     # opposite-edge strips share a shape — run each pair as one batch-2
     # slow-path chain (the thin-strip ops are launch-bound, so halving the
@@ -253,13 +262,28 @@ def _fba_tail(h4, skip2, ex_parts, p, ring: int = 8, force_fast=None):
         ex1s = jnp.concatenate([cat_sl(t, s1) for t in ex_parts], axis=-1)
         return _fba_tail_slow(h4s, skips, ex1s, p, gn_stats=gn2)
 
+    pack = functools.partial(sp.s4d, prefer_reshape=True)
     tb = strips(axis=1)
-    out = out.at[:, :r].set(tb[:n, :r])
-    out = out.at[:, -r:].set(tb[n:, -r:])
+    e = e.at[:, :rq].set(pack(tb[:n, :r]))
+    e = e.at[:, -rq:].set(pack(tb[n:, -r:]))
     lr = strips(axis=2)
-    out = out.at[:, :, :r].set(lr[:n, :, :r])
-    out = out.at[:, :, -r:].set(lr[n:, :, -r:])
-    return out
+    e = e.at[:, :, :rq].set(pack(lr[:n, :, :r]))
+    e = e.at[:, :, -rq:].set(pack(lr[n:, :, -r:]))
+    return e
+
+
+def _fba_tail(h4, skip2, ex_parts, p, ring: int = 8, force_fast=None):
+    """Fast tail + exact border ring stitched from the reference-shaped
+    path (upsample edge-clamp and conv zero-pad do not commute with the
+    subpixel composition on a <=7px OS=1 ring; ``ring``=8 is margin).
+    GroupNorm strips reuse the full-image statistics. ``ex_parts`` is the
+    tuple (raw rgb, image, 2ch trimap) — concatenated lazily so the fast
+    path never materializes the thin full-res concat."""
+    if not _tail_fast_ok(h4, ex_parts, ring, force_fast):
+        ex1 = jnp.concatenate(ex_parts, axis=-1)
+        return _fba_tail_slow(h4, skip2, ex1, p)
+    return sp.d4s(_fba_tail_packed(h4, skip2, ex_parts, p, ring),
+                  prefer_reshape=True)
 
 
 class FBADecoder(nn.Module):
@@ -347,14 +371,35 @@ class FBADecoder(nn.Module):
         p = dict(w3=w3, b3=b3, gn_scale=gn_scale, gn_bias=gn_bias,
                  w40=w40, b40=b40, w41=w41, b41=b41, w42=w42, b42=b42)
 
-        out = _fba_tail(h4, conv_out[-5], ex_parts, p)
-
         # the closed-form consistency solve runs in f32 regardless of the
         # network dtype: it is a handful of elementwise ops at OS=1
         # (HBM-bound, negligible next to the conv stack) and its
         # sigmoid/divide chain is the last place bf16 rounding can still
-        # move an output pixel before pasting
-        out = out.astype(jnp.float32)
+        # move an output pixel before pasting.
+        #
+        # On the packed path the solve runs IN THE 16-PACK LAYOUT (a pure
+        # per-pixel reorder, blk-major x channel-minor, so reshape to
+        # [..., 16, 7] groups each full-res pixel's 7 channels): alpha, F,
+        # and B then unpack independently, and a consumer that only reads
+        # alpha (the streaming matte path) leaves the two 48-channel F/B
+        # unpacks as dead code — 6/7 of the old 112-channel unpack cost.
+        # s4d(img) is the same subgraph the tail's ex-part packing builds,
+        # so XLA CSEs it.
+        if _tail_fast_ok(h4, ex_parts):
+            e = _fba_tail_packed(h4, conv_out[-5], ex_parts, p)
+            n, hq, wq, _ = e.shape
+            e = e.astype(jnp.float32).reshape(n, hq, wq, 16, 7)
+            img16 = sp.s4d(img).astype(jnp.float32).reshape(n, hq, wq, 16, 3)
+            alpha = jnp.clip(e[..., 0:1], 0, 1)
+            F = jax.nn.sigmoid(e[..., 1:4])
+            B = jax.nn.sigmoid(e[..., 4:7])
+            alpha, F, B = fba_fusion(alpha, img16, F, B)
+            unpack = lambda t: sp.d4s(t.reshape(n, hq, wq, -1),
+                                      prefer_reshape=True)
+            return jnp.concatenate(
+                [unpack(alpha), unpack(F), unpack(B)], axis=-1)
+
+        out = _fba_tail(h4, conv_out[-5], ex_parts, p).astype(jnp.float32)
         img32 = img.astype(jnp.float32)
         alpha = jnp.clip(out[..., 0:1], 0, 1)
         F = jax.nn.sigmoid(out[..., 1:4])

@@ -75,3 +75,36 @@ def test_streaming_matches_forward_eval_fba(rng):
     # between the one-graph batch path and the per-frame streaming graphs
     np.testing.assert_allclose(np.asarray(alpha)[0], want_alpha, atol=5e-4)
     np.testing.assert_allclose(np.asarray(f)[0], want_f, atol=5e-4)
+
+
+def test_streaming_fgbg_false_matches_alpha(rng):
+    """fgbg=False (the wild-folder matte path) returns just alpha, equal
+    to the (alpha, F, B) run's alpha — dropping F/B is dead-code
+    elimination, never a numerics change."""
+    name = "vmn_fba"
+    cfg = FM.TaskConfig(model=name, agg_window=3)
+    module = registry.build_model(name, agg_window=3)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 3, H, W, 11))
+    masks = jnp.ones((1, 3, H, W, 1))
+    extras = (jnp.zeros((1, 3, H, W, 3)), jnp.zeros((1, 3, H, W, 2)))
+    variables = jax.jit(lambda: module.init(
+        {"params": key, "dropout": key}, x, masks, extras=extras,
+        train=False))()
+
+    imgs = rng.randint(0, 256, (1, 3, H, W, 3)).astype(np.float32)
+    tri = np.zeros((1, 3, H, W, 1), np.float32)
+    tri[:, :, 20:50, 10:60] = 128.0
+    tri[:, :, 30:40, 25:45] = 255.0
+
+    def run(fgbg):
+        sp = StreamingPredictor(module, variables, cfg, fgbg=fgbg)
+        state, _ = sp.step(None, imgs[:, 0], tri[:, 0])
+        state, o = sp.step(state, imgs[:, 1], tri[:, 1])
+        return o
+
+    full = run(True)
+    alpha_only = run(False)
+    assert not isinstance(alpha_only, tuple)
+    np.testing.assert_array_equal(np.asarray(alpha_only),
+                                  np.asarray(full[0]))

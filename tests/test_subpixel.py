@@ -119,9 +119,9 @@ def test_fba_tail_fast_matches_slow_with_stitching(rng):
 
 @pytest.mark.parametrize("h4w4", [(24, 16), (16, 16)])
 def test_fba_tail_stitching_portrait_and_square(rng, h4w4):
-    """The merged strip chain pads whichever strip pair is shorter
-    (portrait pads top/bottom; square pads none) — both orientations must
-    still match the reference-shaped tail everywhere."""
+    """Portrait and square grids exercise the border-ring stitching's
+    strip extents in both orientations — the fast tail must match the
+    reference-shaped tail everywhere, borders included."""
     from tcvom_tpu.models.fba import _fba_tail
 
     h4s, w4s = h4w4
@@ -347,3 +347,29 @@ def test_tile_bias16_order(rng):
     want = np.asarray(x + bias)
     got = np.asarray(sp.d4s(sp.s4d(x) + sp.tile_bias16(bias)))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_fba_decoder_packed_fusion_matches_fullres(rng, monkeypatch):
+    """The packed-space fusion solve (clip/sigmoid/fba_fusion on the
+    16-pack quarter grid, then per-output unpacks) must equal the
+    reference-shaped path's full-resolution solve everywhere — fusion is
+    pointwise and s4d/d4s are pure per-pixel permutations, so the only
+    tolerated difference is f32 conv reassociation upstream."""
+    from tcvom_tpu.models import registry
+
+    module = registry.build_model("fba")
+    h, w = 64, 96
+    x = jnp.asarray(rng.randn(1, h, w, 11).astype(np.float32))
+    img = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+    two = jnp.asarray((rng.rand(1, h, w, 2) > 0.5).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    variables = module.init({"params": key, "dropout": key}, x,
+                            extras=(img, two), train=False)
+
+    want = np.asarray(module.apply(variables, x, extras=(img, two),
+                                   train=False))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = np.asarray(module.apply(variables, x, extras=(img, two),
+                                  train=False))
+    assert got.shape == want.shape == (1, h, w, 7)
+    np.testing.assert_allclose(got, want, atol=5e-4)

@@ -67,7 +67,8 @@ def capture_trace(dtype_name: str, steps: int, trace_dir: str):
     tri = jax.device_put(jnp.asarray(tri))
 
     dtype = jnp.bfloat16 if dtype_name == "bf16" else None
-    sp = StreamingPredictor(module, variables, cfg, dtype=dtype)
+    sp = StreamingPredictor(module, variables, cfg, dtype=dtype,
+                            fgbg=False)
     # warm both jitted paths before tracing
     state, _ = sp.step(None, img, tri)
     state, _ = sp.step(state, img, tri)

@@ -82,7 +82,8 @@ def main():
     tri = jax.device_put(jnp.asarray(tri))
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else None
-    sp = StreamingPredictor(module, variables, cfg, dtype=dtype)
+    sp = StreamingPredictor(module, variables, cfg, dtype=dtype,
+                            fgbg=False)
     report = {"model": name, "dtype": args.dtype}
 
     # --- whole-step pieces ---------------------------------------------
