@@ -178,18 +178,27 @@ def _model_forward_pair(name, dtype_name, h=96, w=160):
         return out[0]
 
     unknown = np.asarray(masks) > 0.5        # [b, s, h, w, 1] bool
-    preds_fast = jax.jit(fwd)(variables, inputs, masks, extras)
+    # f32 rows run at matmul precision "highest" so f32 means f32: at the
+    # DEFAULT precision TPU f32 convs execute as single bf16 MXU passes,
+    # and the packed re-layout decomposes convs differently than the
+    # reference-shaped graph — the two paths then differ by bf16-pass
+    # noise (FBA soft-p999 6.9e-3 measured), which the bf16 rows and
+    # bf16_guard*.json already own. At "highest" the comparison isolates
+    # ALGORITHMIC equivalence of the packed paths.
+    prec = "highest" if dtype == jnp.float32 else "default"
+    with jax.default_matmul_precision(prec):
+        preds_fast = jax.jit(fwd)(variables, inputs, masks, extras)
 
-    # direct path: trace with the backend gate forced off. The gates are
-    # Python-level `jax.default_backend() == "tpu"` checks evaluated at
-    # trace time, so patching during trace compiles the reference-shaped
-    # graph — which then executes on the same TPU. jit's global trace
-    # cache must be dropped first or the fast trace gets reused verbatim
-    # (verified: without clear_caches the two HLOs are identical and the
-    # check is vacuous).
-    jax.clear_caches()
-    with mock.patch.object(jax, "default_backend", lambda: "cpu"):
-        preds_direct = jax.jit(fwd)(variables, inputs, masks, extras)
+        # direct path: trace with the backend gate forced off. The gates
+        # are Python-level `jax.default_backend() == "tpu"` checks
+        # evaluated at trace time, so patching during trace compiles the
+        # reference-shaped graph — which then executes on the same TPU.
+        # jit's global trace cache must be dropped first or the fast trace
+        # gets reused verbatim (verified: without clear_caches the two
+        # HLOs are identical and the check is vacuous).
+        jax.clear_caches()
+        with mock.patch.object(jax, "default_backend", lambda: "cpu"):
+            preds_direct = jax.jit(fwd)(variables, inputs, masks, extras)
     return preds_fast, preds_direct, unknown
 
 
