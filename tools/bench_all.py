@@ -48,11 +48,14 @@ def main():
                     "returncode": r.returncode}
         rows.append({"model": model, "dtype": dtype, **data})
         print(json.dumps(rows[-1]))
-
-    artifact = {"harness": "bench.py delta-timing, device-resident inputs, "
-                           "streaming pipeline (1 encode + 1 decode/matte)",
-                "hw": [1088, 1920], "rows": rows}
-    pathlib.Path(args.out).write_text(json.dumps(artifact, indent=1) + "\n")
+        # write after every row so a cut-off sweep still leaves a valid
+        # artifact with the rows that did finish
+        artifact = {"harness": "bench.py delta-timing, device-resident "
+                               "inputs, streaming pipeline "
+                               "(1 encode + 1 decode/matte)",
+                    "hw": [1088, 1920], "rows": rows}
+        pathlib.Path(args.out).write_text(
+            json.dumps(artifact, indent=1) + "\n")
     print(f"wrote {args.out}")
 
 
