@@ -72,10 +72,14 @@ def main():
     import os
     from tcvom_tpu.infer.predict import StreamingPredictor
     dtype = None if os.environ.get("BENCH_DTYPE") == "f32" else jnp.bfloat16
-    # fgbg=False matches the production matte path (pred_test writes only
-    # alpha PNGs, like the reference's pred_test.py:86-116); FBA's F/B
-    # pastes and subpixel unpacks are dead code inside the decode jit
-    sp = StreamingPredictor(module, variables, cfg, dtype=dtype, fgbg=False)
+    # fgbg=False + quantize=True matches the production matte path
+    # (pred_test writes only alpha PNGs, like the reference's
+    # pred_test.py:86-116): FBA's F/B pastes and subpixel unpacks are dead
+    # code inside the decode jit, and the trimap paste + u8 quantization
+    # run fused and channel-squeezed inside it (the unfused [.., 1]-channel
+    # f32 paste measured 8.3 ms in a lane-padded layout)
+    sp = StreamingPredictor(module, variables, cfg, dtype=dtype, fgbg=False,
+                            quantize=True)
 
     # warmup / compile (2 steps exercise both jitted paths)
     state, _ = sp.step(None, img, tri)

@@ -107,10 +107,22 @@ class StreamingPredictor:
     """
 
     def __init__(self, module, variables, cfg: FM.TaskConfig, dtype=None,
-                 fgbg: bool = True):
+                 fgbg: bool = True, quantize: bool = False):
         """``dtype=jnp.bfloat16`` runs the network in bf16 (params cast
         once, activations bf16, preprocessing and output pasting stay f32)
         — ~half the HBM traffic. Default f32 preserves reference numerics.
+
+        ``quantize=True`` (matte path only, requires ``fgbg=False`` for
+        FBA) fuses the trimap paste and the PNG quantization into the
+        decode jit and returns ``uint8 [B, H, W]`` mattes. The paste runs
+        on channel-squeezed [B, H, W] tensors: a [B, H, W, 1] f32 select
+        materializes in a lane-padded layout (minor dim 1 -> 128 lanes,
+        measured 8.3 ms at 5 GB/s logical, PROFILE_r04_attrib top op) while
+        the squeezed form tiles (8, 128) over (H, W) at HBM rate. It also
+        removes the separate ``to_u8`` dispatch per frame (a tunnel RTT)
+        and shrinks the decode jit boundary from 8 MB f32 to 2 MB u8.
+        Byte-exact with ``np.uint8(np.clip(alpha, 0, 1) * 255)`` of the
+        f32 path (jnp.floor matches numpy's truncation).
 
         ``fgbg=False`` (FBA only) returns just the alpha matte instead of
         (alpha, F, B): the F/B pastes, clips, and — with the packed-space
@@ -130,9 +142,12 @@ class StreamingPredictor:
         boundary relayouts left to kill.
         """
         assert cfg.is_vmn, "streaming pipeline drives VMN models"
+        assert not (quantize and fgbg and cfg.method == "fba"), \
+            "quantize=True returns the alpha matte only (set fgbg=False)"
         self.module = module
         self.dtype = dtype
         self.fgbg = fgbg
+        self.quantize = quantize
         self.variables = (jax.tree.map(
             lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating)
             else a, variables) if dtype is not None else variables)
@@ -186,6 +201,12 @@ class StreamingPredictor:
             variables, cur["enc"], {"q": cur["q"], "v": cur["v"]},
             prev_k, nxt_k, cur["trimask"], train=False, need_logits=False,
             method=type(self.module).decode_window_qkv)
+        if self.quantize:
+            # channel-squeezed paste + u8 quantization (see __init__)
+            a2 = jnp.where(cur["trimask"][..., 0] > 0.5,
+                           pred[..., 0].astype(jnp.float32),
+                           cur["gt_tri"][..., 0])
+            return jnp.floor(jnp.clip(a2, 0.0, 1.0) * 255.0).astype(jnp.uint8)
         mask = cur["trimask"] > 0.5
         alpha = jnp.where(mask, pred[..., 0:1], cur["gt_tri"])
         if cfg.method == "fba" and self.fgbg:
@@ -294,9 +315,22 @@ def predict_test_folder(module, variables, cfg: FM.TaskConfig, in_dir: str,
     """EvalModel inference over a wild folder; writes <name>_alpha.png
     (reference pred_test.py:86-116). VMN models run the streaming pipeline
     (one encode per frame); single-frame models run per-frame.
-    ``dtype=jnp.bfloat16`` selects the guarded bf16 compute path."""
+    ``dtype=jnp.bfloat16`` selects the guarded bf16 compute path.
+
+    Returns a per-phase wall-time breakdown (seconds summed over the run)
+    so the e2e number is attributable: where the MAIN loop blocked
+    (``main_qget`` waiting on the decoder thread, ``main_step`` in the
+    encode/decode dispatches, ``main_tou8`` in the quantize dispatch,
+    ``main_wqput`` waiting on the writer), and what each side thread spent
+    (``prod_read`` PNG decode+pad, ``writer_fetch`` device->host matte
+    readback, ``writer_imwrite`` PNG encode)."""
+    import time as _time
     folder = TestFolder(in_dir)
     os.makedirs(out_dir, exist_ok=True)
+    stats: dict = {"frames": len(folder)}
+
+    def _acc(key, t0):
+        stats[key] = stats.get(key, 0.0) + (_time.perf_counter() - t0)
 
     def write(name, alpha, hw):
         h, w = hw
@@ -317,13 +351,11 @@ def predict_test_folder(module, variables, cfg: FM.TaskConfig, in_dir: str,
         q: "_queue.Queue" = _queue.Queue(maxsize=4)
         wq: "_queue.Queue" = _queue.Queue(maxsize=4)
 
-        # device-side quantization: ships 2 MB uint8 per matte instead of
-        # 8 MB f32 and skips the host's clip/scale over a full frame.
-        # jnp.floor matches np.uint8()'s truncation of the f32 product
-        # byte for byte (XLA's raw f32->u8 convert would round-to-nearest).
-        to_u8 = jax.jit(
-            lambda a: jnp.floor(jnp.clip(a, 0.0, 1.0) * 255.0)
-            .astype(jnp.uint8))
+        # quantization happens INSIDE the decode jit (StreamingPredictor
+        # quantize=True): the matte arrives as uint8 [B, H, W] — 2 MB per
+        # frame over the link, no separate to_u8 dispatch, and the paste
+        # runs channel-squeezed (the [.., 1]-channel f32 select measured
+        # 8.3 ms in a lane-padded layout, PROFILE_r04_attrib top op).
 
         def consume():
             while True:
@@ -332,53 +364,77 @@ def predict_test_folder(module, variables, cfg: FM.TaskConfig, in_dir: str,
                     return
                 name, alpha_u8, hw = item
                 h, w = hw
+                t0 = _time.perf_counter()
+                a = np.asarray(alpha_u8)
+                _acc("writer_fetch", t0)
+                t0 = _time.perf_counter()
                 cv2.imwrite(os.path.join(out_dir, name + "_alpha.png"),
-                            np.asarray(alpha_u8)[0, :h, :w, 0])
+                            a[0, :h, :w])
+                _acc("writer_imwrite", t0)
 
         writer = threading.Thread(target=consume, daemon=True)
         writer.start()
 
         def produce():
             for i in range(len(folder)):
-                q.put(folder.read_frame(i))
+                t0 = _time.perf_counter()
+                img, tri, hw, name = folder.read_frame(i)
+                _acc("prod_read", t0)
+                # upload from the producer thread so the host->device
+                # transfer (8+2.7 MB/frame; expensive through a device
+                # tunnel) overlaps with the main loop's dispatches instead
+                # of serializing in front of them
+                t0 = _time.perf_counter()
+                img, tri = jax.device_put(img), jax.device_put(tri)
+                _acc("prod_upload", t0)
+                q.put((img, tri, hw, name))
             q.put(None)
 
         threading.Thread(target=produce, daemon=True).start()
         sp = StreamingPredictor(module, variables, cfg, dtype=dtype,
-                                fgbg=False)
+                                fgbg=False, quantize=True)
         state = None
         pending = []        # (name, orig_hw) awaiting their matte
         i = 0
         while True:
+            t0 = _time.perf_counter()
             item = q.get()
+            _acc("main_qget", t0)
             if item is None:
                 break
             img, tri, hw, name = item
+            t0 = _time.perf_counter()
             state, out = sp.step(state, img, tri)
+            _acc("main_step", t0)
             pending.append((name, hw))
             if out is not None:
-                alpha = out[0] if isinstance(out, tuple) else out
                 name, hw = pending.pop(0)
-                wq.put((name, to_u8(alpha), hw))
+                t0 = _time.perf_counter()
+                wq.put((name, out, hw))
+                _acc("main_wqput", t0)
                 if progress:
                     progress(i, len(folder))
             i += 1
         if state is not None and pending:
             out = sp.flush(state)
-            alpha = out[0] if isinstance(out, tuple) else out
             name, hw = pending.pop(0)
-            wq.put((name, to_u8(alpha), hw))
+            wq.put((name, out, hw))
         wq.put(None)
         writer.join()
-        return
+        return stats
 
     step = jax.jit(lambda v, imgs, tris: FM.forward_eval(module, v, imgs, tris, cfg))
     for i in range(len(folder)):
         item = folder[i]
+        t0 = _time.perf_counter()
         out = step(variables, jnp.asarray(item["imgs"])[None],
                    jnp.asarray(item["tris"])[None])
         alphas = out[0] if isinstance(out, tuple) else out
         c = item["imgs"].shape[0] // 2
+        _acc("main_step", t0)
+        t0 = _time.perf_counter()
         write(item["name"], alphas[:, c], tuple(item["orig_hw"]))
+        _acc("writer_imwrite", t0)
         if progress:
             progress(i, len(folder))
+    return stats

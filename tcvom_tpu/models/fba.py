@@ -90,6 +90,13 @@ class FBAEncoder(nn.Module):
         return {"conv_out": tuple(conv_out)}
 
 
+# Bisect support (tools/bisect_fba_bf16.py): when True the decoder keeps
+# the packed tail but unpacks BEFORE the fusion solve (the pre-08743e1
+# graph: d4s then full-resolution solve) instead of solving in the 16-pack
+# layout. Trace-time Python flag; production never sets it.
+BISECT_SOLVE_FULLRES = False
+
+
 def fba_fusion(alpha, img, F, B):
     """Closed-form consistency solve (reference models.py:246-255)."""
     F = alpha * img + (1 - alpha ** 2) * F - alpha * (1 - alpha) * B
@@ -385,7 +392,7 @@ class FBADecoder(nn.Module):
         # unpacks as dead code — 6/7 of the old 112-channel unpack cost.
         # s4d(img) is the same subgraph the tail's ex-part packing builds,
         # so XLA CSEs it.
-        if _tail_fast_ok(h4, ex_parts):
+        if _tail_fast_ok(h4, ex_parts) and not BISECT_SOLVE_FULLRES:
             e = _fba_tail_packed(h4, conv_out[-5], ex_parts, p)
             n, hq, wq, _ = e.shape
             e = e.astype(jnp.float32).reshape(n, hq, wq, 16, 7)

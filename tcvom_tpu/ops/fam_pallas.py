@@ -279,6 +279,12 @@ def _choose_impl(h: int, w: int, c: int, dtype) -> str:
     kernel wins bf16 everywhere it lowers and wide-channel (C>=256) f32
     1080p grids; XLA keeps C=128 at 1080p. The VPU variant does not lower
     in bf16 (its sublane-8 roll tiles are below bf16's 16-sublane minimum).
+
+    Narrow channels (C < 128, i.e. Index's FAM width 32 — reference
+    models/VMN/VMN_Index.py:10) are zero-padded to the 128-lane minimum by
+    the ``fam_attention`` wrapper below on the bf16 large-grid no-logits
+    path, where the padded mxu2 kernel measured faster than XLA at the
+    true width (bench_fam.json c32_pad rows); everything else keeps XLA.
     """
     if c % 128 or _pick_tiles(h, w) is None:
         return "xla"
@@ -288,6 +294,18 @@ def _choose_impl(h: int, w: int, c: int, dtype) -> str:
     if c >= 256:
         return "mxu"
     return "xla"
+
+
+def _pad_channels(q, k, c_pad: int):
+    """Zero-pad q/k channels to ``c_pad`` lanes without changing the math:
+    zero lanes add nothing to the q·k dots, and the kernel's 1/sqrt(c_pad)
+    scale is compensated by pre-scaling q with sqrt(c_pad/c). The padded
+    output's extra channels are zeros (a weighted sum of zero-padded k), so
+    the caller slices back to c."""
+    c = q.shape[-1]
+    q = q * jnp.asarray(math.sqrt(c_pad / c), q.dtype)
+    pad = [(0, 0)] * (q.ndim - 1) + [(0, c_pad - c)]
+    return jnp.pad(q, pad), jnp.pad(k, pad)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "interpret", "mxu",
@@ -401,19 +419,41 @@ def fam_attention(q, k, mask, window: int, use_pallas: bool | None = None,
     no [B, H, W, window^2] tensor and the post-kernel tile transpose
     disappears; the returned logits are zeros for XLA to DCE. Only the
     L_att training loss consumes them (reference models/model.py:286-321);
-    the pred drivers discard attb/attf."""
+    the pred drivers discard attb/attf.
+
+    Narrow channels (Index's FAM width 32) take the fused path at 1080p
+    bf16 inference by zero-padding to 128 lanes (``_pad_channels``; the
+    dots, softmax and logits are unchanged — measured on chip: padded
+    mxu2 matches XLA to bf16 rounding and runs 1.5x faster at 136x240,
+    bench_fam.json c32_pad rows; XLA keeps f32 and small grids, see the
+    dispatch comment). Training keeps XLA for C<128: the custom_vjp's
+    backward runs the XLA formulation anyway, so the fused forward would
+    only add a pad/slice pair around identical math."""
     h, w, c = q.shape[-3], q.shape[-2], q.shape[-1]
+    c_pad = c if c % 128 == 0 else 128 * -(-c // 128)
+    # narrow channels: only the no-logits inference path pads (see above)
+    c_eff = c_pad if (c != c_pad and not need_logits) else c
     if use_pallas is None:
-        impl = (_choose_impl(h, w, c, q.dtype)
+        impl = (_choose_impl(h, w, c_eff, q.dtype)
                 if jax.default_backend() == "tpu" else "xla")
+        # padded mxu2 beats XLA at the 1080p bf16 narrow-channel grid
+        # (measured 0.175 vs 0.262 ms at 136x240 c32->128, bench_fam.json
+        # c32_pad rows): the pad makes c_eff==128 which _choose_impl maps
+        # to 'xla' at large grids, but the single-matmul-pair kernel has
+        # no per-dy band loops. XLA keeps f32 (vpu-no-logits measured
+        # 1.86 vs 0.61 ms) and small grids (0.219 vs 0.085 ms at 64x64).
+        if (impl == "xla" and c != c_eff and not need_logits
+                and _pick_tiles(h, w) is not None
+                and q.dtype == jnp.bfloat16 and h * w > 64 * 64):
+            impl = "mxu"
     elif use_pallas:
         # forced-Pallas still picks vpu/mxu by the measured policy — the
         # VPU variant does not lower in bf16, so hardcoding it here would
         # be a footgun (it also loses at large grids)
-        impl = _choose_impl(h, w, c, q.dtype)
+        impl = _choose_impl(h, w, c_eff, q.dtype)
         if impl == "xla":    # shape doesn't tile; honor the request anyway
             impl = "mxu" if q.dtype == jnp.bfloat16 else "vpu"
-            if _pick_tiles(h, w) is None or c % 128:
+            if _pick_tiles(h, w) is None or c_eff % 128:
                 raise ValueError(
                     f"use_pallas=True but grid {h}x{w}xC{c} does not tile "
                     "for the fused kernels (need H%8==0, W%8==0, C%128==0)")
@@ -421,12 +461,16 @@ def fam_attention(q, k, mask, window: int, use_pallas: bool | None = None,
         impl = "xla"
     if impl != "xla":
         if not need_logits:
+            qk = (q, k) if c == c_eff else _pad_channels(q, k, c_eff)
             # the single-matmul-pair kernel; f32 at large grids would blow
             # VMEM (kall + two f32 [th, wt, window*w_halo] temporaries)
             use2 = impl == "mxu" and (q.dtype == jnp.bfloat16
                                       or h * w <= 64 * 64)
-            out, _ = _fam_pallas_fwd(q, k, mask, window, mxu=(impl == "mxu"),
+            out, _ = _fam_pallas_fwd(qk[0], qk[1], mask, window,
+                                     mxu=(impl == "mxu"),
                                      mxu2=use2, need_logits=False)
+            if c != c_eff:
+                out = out[..., :c]
             lg = jnp.zeros(q.shape[:-1] + (window * window,), q.dtype)
             return out, lg
         return fam_attention_fused(q, k, mask, window, mxu=(impl == "mxu"))

@@ -213,6 +213,18 @@ def test_pred_test_wild_folders(tmp_path):
     # the positional selection must exclude clipB
     assert not os.path.exists(os.path.join(save, "clipB"))
 
+    # --shard I/N static range sharding (reference pred_test.py:124-137):
+    # shard 1/2 of [clipA, clipB] is exactly clipB
+    save2 = str(tmp_path / "out_shard")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "pred_test.py"),
+         "--model", "dim", "--vmn", "--load", ckpt, "--data", str(root),
+         "--save", save2, "--agg_window", "3", "--shard", "1/2"],
+        env=ENV, capture_output=True, text=True, timeout=3000)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(os.path.join(save2, "clipB", "00000_alpha.png"))
+    assert not os.path.exists(os.path.join(save2, "clipA"))
+
 
 @pytest.mark.slow
 def test_pretrain_dim_e2e(tmp_path):

@@ -61,6 +61,35 @@ def test_fam_pallas_mxu2_interpret_matches_xla(rng):
                                    atol=1e-5)
 
 
+def test_fam_pallas_pad_channels_exact(rng):
+    """Zero-padding q/k to 128 lanes (the narrow-channel Index path) must
+    leave the attention math unchanged: zero lanes add nothing to the dots
+    and the 1/sqrt(c_pad) kernel scale is compensated by pre-scaling q."""
+    from tcvom_tpu.ops.fam_pallas import _pad_channels
+
+    b, h, w, c, window = 1, 16, 24, 32, 7
+    q = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+    mask = jnp.asarray((rng.rand(b, h, w, 1) > 0.4).astype(np.float32))
+
+    want_out, _ = fam_xla(q, k, mask, window)
+    qp, kp = _pad_channels(q, k, 128)
+    assert qp.shape[-1] == kp.shape[-1] == 128
+    got_out, _ = _fam_pallas_fwd(qp, kp, mask, window, interpret=True,
+                                 mxu2=True, need_logits=False)
+    assert np.abs(np.asarray(got_out[..., c:])).max() == 0.0
+    np.testing.assert_allclose(np.asarray(got_out[..., :c]),
+                               np.asarray(want_out), atol=1e-5)
+    # the logits-writing kernels agree through the same padding
+    got2, lg2 = _fam_pallas_fwd(qp, kp, mask, window, interpret=True,
+                                mxu=True)
+    _, want_lg = fam_xla(q, k, mask, window)
+    np.testing.assert_allclose(np.asarray(got2[..., :c]),
+                               np.asarray(want_out), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lg2), np.asarray(want_lg),
+                               atol=1e-5)
+
+
 def test_dispatch_policy_table():
     """Pin the measured dispatch policy (bench_fam.json): VPU on small f32
     grids, MXU on bf16 and wide-channel 1080p grids, XLA elsewhere."""

@@ -108,3 +108,38 @@ def test_streaming_fgbg_false_matches_alpha(rng):
     assert not isinstance(alpha_only, tuple)
     np.testing.assert_array_equal(np.asarray(alpha_only),
                                   np.asarray(full[0]))
+
+
+def test_streaming_quantize_byte_exact(rng):
+    """quantize=True (the wild-folder matte path) fuses the trimap paste
+    and PNG quantization into the decode jit on channel-squeezed tensors;
+    its uint8 [B, H, W] output must equal np.uint8(clip(alpha)*255) of the
+    f32 path byte for byte (jnp.floor matches numpy's truncation)."""
+    name = "vmn_fba"
+    cfg = FM.TaskConfig(model=name, agg_window=3)
+    module = registry.build_model(name, agg_window=3)
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 3, H, W, 11))
+    masks = jnp.ones((1, 3, H, W, 1))
+    extras = (jnp.zeros((1, 3, H, W, 3)), jnp.zeros((1, 3, H, W, 2)))
+    variables = jax.jit(lambda: module.init(
+        {"params": key, "dropout": key}, x, masks, extras=extras,
+        train=False))()
+
+    imgs = rng.randint(0, 256, (1, 3, H, W, 3)).astype(np.float32)
+    tri = np.zeros((1, 3, H, W, 1), np.float32)
+    tri[:, :, 20:50, 10:60] = 128.0
+    tri[:, :, 30:40, 25:45] = 255.0
+
+    def run(quantize):
+        sp = StreamingPredictor(module, variables, cfg, fgbg=False,
+                                quantize=quantize)
+        state, _ = sp.step(None, imgs[:, 0], tri[:, 0])
+        state, o = sp.step(state, imgs[:, 1], tri[:, 1])
+        return o
+
+    alpha_f32 = np.asarray(run(False))            # [1, H, W, 1] f32
+    alpha_u8 = np.asarray(run(True))              # [1, H, W] u8
+    assert alpha_u8.dtype == np.uint8 and alpha_u8.shape == (1, H, W)
+    want = np.uint8(np.clip(alpha_f32[..., 0], 0, 1) * 255)
+    np.testing.assert_array_equal(alpha_u8, want)

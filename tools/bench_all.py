@@ -7,7 +7,7 @@ process so compile caches and chip state don't leak between rows. The
 README throughput table is refreshed from this artifact (VERDICT r03 #3:
 no stale per-backbone numbers).
 
-    python tools/bench_all.py [--out BENCH_ALL_r04.json]
+    python tools/bench_all.py [--out BENCH_ALL_r05.json]
 """
 from __future__ import annotations
 
@@ -31,21 +31,27 @@ ROWS = [
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=str(REPO / "BENCH_ALL_r04.json"))
+    ap.add_argument("--out", default=str(REPO / "BENCH_ALL_r05.json"))
     args = ap.parse_args()
 
     rows = []
     for model, dtype in ROWS:
         env = dict(os.environ, BENCH_MODEL=model, BENCH_DTYPE=dtype)
-        r = subprocess.run([sys.executable, str(REPO / "bench.py")],
-                           env=env, capture_output=True, text=True,
-                           timeout=1800)
-        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
         try:
-            data = json.loads(line)
-        except (json.JSONDecodeError, ValueError):
-            data = {"error": (r.stderr or r.stdout)[-400:],
-                    "returncode": r.returncode}
+            r = subprocess.run([sys.executable, str(REPO / "bench.py")],
+                               env=env, capture_output=True, text=True,
+                               timeout=1800)
+            line = (r.stdout.strip().splitlines()[-1]
+                    if r.stdout.strip() else "")
+            try:
+                data = json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                data = {"error": (r.stderr or r.stdout)[-400:],
+                        "returncode": r.returncode}
+        except subprocess.TimeoutExpired:
+            # record the hung row and keep sweeping — the incremental-write
+            # guarantee below must hold for timeouts too
+            data = {"error": "timeout", "returncode": None}
         rows.append({"model": model, "dtype": dtype, **data})
         print(json.dumps(rows[-1]))
         # write after every row so a cut-off sweep still leaves a valid

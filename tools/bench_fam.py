@@ -124,6 +124,34 @@ def main():
             results.append(row)
             print(json.dumps(row))
 
+    # narrow-channel (Index C=32) padded path: XLA at the true width vs
+    # the dispatcher's zero-pad-to-128 fused inference path (no logits)
+    for h, w in ((136, 240), (64, 64)):
+        for dtype_name in ("bfloat16", "float32"):
+            dtype = jnp.dtype(dtype_name)
+            rng = np.random.RandomState(0)
+            q = jnp.asarray(rng.randn(1, h, w, 32), dtype)
+            k = jnp.asarray(rng.randn(1, h, w, 32), dtype)
+            m = jnp.asarray(_mask(h, w), dtype)
+            xla = jax.jit(lambda q, k, m: fam_xla(q, k, m, 7))
+            pad = jax.jit(lambda q, k, m: fam_pallas.fam_attention(
+                q, k, m, 7, use_pallas=True, need_logits=False))
+            row = {"grid": f"{h}x{w}", "c": 32, "window": 7,
+                   "dtype": dtype_name, "label": "c32_pad (index)"}
+            try:
+                t_xla, (o_ref, _) = time_fn(xla, q, k, m, iters=args.iters)
+                t_pad, (o, _) = time_fn(pad, q, k, m, iters=args.iters)
+                do = float(jnp.max(jnp.abs(
+                    o.astype(jnp.float32) - o_ref.astype(jnp.float32))))
+                tol = 5e-5 if dtype_name == "float32" else 1e-1
+                row.update(xla_ms=round(t_xla, 3), pad_ms=round(t_pad, 3),
+                           pad_maxerr_out=do, pad_ok=bool(do < tol))
+            except Exception as e:
+                row.update(pad_ms=None, pad_ok=False,
+                           pad_error=f"{type(e).__name__}: {e}"[:300])
+            results.append(row)
+            print(json.dumps(row))
+
     artifact = {"backend": backend, "device": dev,
                 "jax_version": jax.__version__, "results": results}
     pathlib.Path(args.out).write_text(json.dumps(artifact, indent=1) + "\n")
@@ -135,8 +163,9 @@ def main():
             return True
         return bool(r.get(f"{name}_ok"))
 
-    bad = [r for r in results
-           if not (expected_ok(r, "vpu") and expected_ok(r, "mxu"))]
+    bad = [r for r in results if r["c"] != 32
+           and not (expected_ok(r, "vpu") and expected_ok(r, "mxu"))]
+    bad += [r for r in results if r["c"] == 32 and not r.get("pad_ok")]
     if backend == "tpu" and bad:
         print(f"FAIL: {len(bad)} rows with numerics/lowering failures")
         sys.exit(1)

@@ -13,7 +13,7 @@ Reference context: the reference fed its GPUs with 8-16 DataLoader workers
 (SYSTEM.NUM_WORKERS, train_ddp.py:233-240); its pred_test.py decoded each
 frame triplet per output with no prefetch (pred_test.py:36-67).
 
-    python tools/bench_host_feed.py [--frames 24] [--out HOSTFEED_r04.json]
+    python tools/bench_host_feed.py [--frames 24] [--out HOSTFEED_r05.json]
 """
 from __future__ import annotations
 
@@ -69,7 +69,7 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--data", default="/tmp/hostfeed_clip")
     ap.add_argument("--out", default=str(
-        pathlib.Path(__file__).resolve().parents[1] / "HOSTFEED_r04.json"))
+        pathlib.Path(__file__).resolve().parents[1] / "HOSTFEED_r05.json"))
     args = ap.parse_args()
     h, w = args.size
 
@@ -110,6 +110,27 @@ def main():
         x, masks, extras=extras, train=False))()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else None
 
+    # host<->device transfer microbenchmark: what one frame's traffic
+    # costs through this backend (the axon tunnel serializes transfers
+    # over a network hop; on a local backend these are PCIe/DMA rates).
+    # Upload: the padded uint8 frame pair (~8+2.7 MB); download: the
+    # quantized uint8 matte (~2.7 MB).
+    up = np.zeros((1, ph, pw, 3), np.uint8)
+    up_tri = np.zeros((1, ph, pw, 1), np.uint8)
+    d = jax.device_put(up)
+    d.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _ = jax.device_put(up).block_until_ready()
+        _ = jax.device_put(up_tri).block_until_ready()
+    upload_ms = (time.perf_counter() - t0) / 5 * 1e3
+    down = jnp.zeros((1, ph, pw, 1), jnp.uint8) + 1
+    down.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _ = np.asarray(down)
+    download_ms = (time.perf_counter() - t0) / 5 * 1e3
+
     out_dir = "/tmp/hostfeed_out"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
@@ -119,8 +140,8 @@ def main():
     n_out = len(os.listdir(out_dir))
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    predict_test_folder(module, variables, cfg, args.data, out_dir,
-                        dtype=dtype)            # timed pass
+    stats = predict_test_folder(module, variables, cfg, args.data, out_dir,
+                                dtype=dtype)    # timed pass
     run_s = time.perf_counter() - t0
     assert len(os.listdir(out_dir)) == args.frames, os.listdir(out_dir)
 
@@ -130,11 +151,22 @@ def main():
         "hw": [h, w], "png_mb_rgb": round(png_mb, 2),
         "decode_ms_rgb": round(decode_ms, 1),
         "encode_ms_alpha": round(encode_ms, 1),
+        "upload_frame_ms": round(upload_ms, 1),
+        "download_matte_ms": round(download_ms, 1),
         "warm_pass_s": round(warm_s, 2),
         "e2e_s": round(run_s, 2),
         "e2e_fps": round(args.frames / run_s, 2),
         "e2e_ms_per_frame": round(run_s / args.frames * 1e3, 1),
         "n_outputs": n_out,
+        # per-phase wall-time breakdown (seconds summed over the run, per
+        # thread): main_* is the dispatch loop, prod_read the decoder
+        # thread, writer_* the writer thread. main_qget ~= decode-bound;
+        # main_step ~= device/tunnel-bound; writer_fetch = matte readback.
+        "phase_breakdown_s": {k: round(v, 2) for k, v in sorted(
+            stats.items()) if k != "frames"},
+        "phase_ms_per_frame": {k: round(v / args.frames * 1e3, 1)
+                               for k, v in sorted(stats.items())
+                               if k != "frames"},
     }
     print(json.dumps(report, indent=1))
     pathlib.Path(args.out).write_text(json.dumps(report, indent=1) + "\n")

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """On-TPU train-step benchmark — ms/step + achieved TFLOP/s for the
 reference training configurations; writes a committed per-round artifact
-(default BENCH_TRAIN_r03.json).
+(default BENCH_TRAIN_r05.json).
 
 Configs (reference cfgs/, 4-GPU DDP in the reference, one chip here):
 - vmn_fba  video trainer, b=1, 512x512, S=5, full L_im+L_tc+L_af stack
@@ -23,7 +23,7 @@ Delta timing (run N then 2N, diff) cancels the dispatch+readback RTT of
 the device tunnel — see tools/bench_fam.py::time_fn.
 
 Usage:
-    python tools/bench_train.py [--out BENCH_TRAIN_r03.json] [--iters 10]
+    python tools/bench_train.py [--out BENCH_TRAIN_r05.json] [--iters 10]
 """
 from __future__ import annotations
 
@@ -45,9 +45,12 @@ import jax.numpy as jnp
 import numpy as np
 
 CONFIGS = [
-    # (model, driver, batch, s, hw, label)
+    # (model, driver, batch, s, hw, label) — batch per chip equals the
+    # reference's BATCH_SIZE_PER_GPU (cfgs/vmd_vmn_*_pretrained_30ep.yaml)
     ("vmn_fba", "vmd", 1, 5, (512, 512), "FBA+TAM video b=1 512^2 S=5"),
     ("vmn_dim", "vmd", 4, 5, (512, 512), "DIM+TAM video b=4 512^2 S=5"),
+    ("vmn_gca", "vmd", 6, 5, (512, 512), "GCA+TAM video b=6 512^2 S=5"),
+    ("vmn_index", "vmd", 4, 5, (512, 512), "Index+TAM video b=4 512^2 S=5"),
 ]
 
 
@@ -113,7 +116,7 @@ def bench_one(model, driver, b, s, hw, remat, iters, bf16=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=str(
-        pathlib.Path(__file__).resolve().parents[1] / "BENCH_TRAIN_r03.json"))
+        pathlib.Path(__file__).resolve().parents[1] / "BENCH_TRAIN_r05.json"))
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--skip_remat", action="store_true")
     ap.add_argument("--smoke", action="store_true",
@@ -124,8 +127,11 @@ def main():
         ("vmn_dim", "vmd", 1, 3, (64, 64), "smoke")]
     results = []
     for model, driver, b, s, hw, label in configs:
-        variants = [(False, False), (False, True)] if not args.skip_remat \
-            else [(False, False)]
+        # every backbone gets f32 + bf16 (the 4 x {f32, bf16} train
+        # matrix); the remat datapoint only for the flagship
+        variants = [(False, False)]
+        if model == "vmn_fba" and not args.skip_remat:
+            variants.append((False, True))
         variants.append((True, False))       # bf16-compute probe
         for bf16, remat in variants:
             row = {"model": model, "driver": driver, "batch": b, "s": s,

@@ -38,6 +38,12 @@ def parse_args():
                         "models/model.py:62-64)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute (numerics pinned by bf16_guard.json)")
+    p.add_argument("--shard", default=None, metavar="I/N",
+                   help="process this process's static 1/N slice of the "
+                        "video list, e.g. --shard 0/4 .. 3/4 — one process "
+                        "per chip, the GSPMD analog of the reference's "
+                        "mp.Process-per-GPU range sharding "
+                        "(pred_test.py:124-137)")
     p.add_argument("videos", nargs="*",
                    help="video subfolders of --data to process (default: "
                         "all, or --data itself if it holds frames directly)")
@@ -66,6 +72,22 @@ def main():
                 for v in vids]
     if not runs:
         raise SystemExit(f"no videos found under {args.data}")
+
+    if args.shard:
+        # static contiguous range shard, same split as the reference's
+        # per-GPU index ranges (pred_test.py:124-137): video v goes to
+        # shard i iff i*len//n <= v < (i+1)*len//n
+        try:
+            i, n = (int(x) for x in args.shard.split("/"))
+            assert 0 <= i < n
+        except (ValueError, AssertionError):
+            raise SystemExit(f"--shard must be I/N with 0<=I<N, "
+                             f"got {args.shard!r}")
+        lo, hi = i * len(runs) // n, (i + 1) * len(runs) // n
+        print(f"shard {i}/{n}: videos [{lo}:{hi}] of {len(runs)}")
+        runs = runs[lo:hi]
+        if not runs:
+            return
 
     # init with a probe sample to get variable structure
     from tcvom_tpu.infer.predict import TestFolder

@@ -1,18 +1,23 @@
 #!/usr/bin/env python
-"""Component-attributed TPU roofline of the streaming 1080p inference step.
+"""Component-attributed TPU roofline of the streaming 1080p inference step
+— or, with ``--train``, of the jitted training step (the reference hot
+loop, train_ddp.py:52-84).
 
 Captures a jax.profiler trace of the steady-state StreamingPredictor step
-(encode + decode jit executables), then attributes every device-side XLA
-op back to its model component via the op's ``tf_op`` path and ``source``
-metadata (recorded by XLA in the xplane trace), summing measured FLOPs
-and bytes-accessed to place each component on the v5e roofline.
+(encode + decode jit executables) or MattingTrainer.train_step, then
+attributes every device-side XLA op back to its model component via the
+op's ``tf_op`` path and ``source`` metadata (recorded by XLA in the
+xplane trace), summing measured FLOPs and bytes-accessed to place each
+component on the v5e roofline.
 
 This answers "which resource saturates each component" with measured
 numbers instead of estimates — the data behind PROFILE_r03.md.
 
 Usage:
     python tools/profile_attrib.py [--dtype bf16] [--steps 10]
-        [--out PROFILE_r03_attrib.json] [--trace_dir DIR]
+        [--out PROFILE_r05_attrib.json] [--trace_dir DIR]
+    python tools/profile_attrib.py --train [--batch 1] [--s 5]
+        [--hw 512 512] [--out PROFILE_TRAIN_r05_attrib.json]
 
 (xplane_pb2 needs the pure-python protobuf implementation; the tool
 re-execs itself with it set, like tools/profile_ops.py.)
@@ -75,7 +80,7 @@ def capture_trace(dtype_name: str, steps: int, trace_dir: str, model: str,
 
     dtype = jnp.bfloat16 if dtype_name == "bf16" else None
     sp = StreamingPredictor(module, variables, cfg, dtype=dtype,
-                            fgbg=False)
+                            fgbg=False, quantize=True)
     state, _ = sp.step(None, img, tri)
     state, _ = sp.step(state, img, tri)
     state, out = sp.step(state, img, tri)
@@ -85,6 +90,41 @@ def capture_trace(dtype_name: str, steps: int, trace_dir: str, model: str,
         for _ in range(steps):
             state, out = sp.step(state, img, tri)
         np.asarray(jnp.sum(out[0] if isinstance(out, tuple) else out))
+    return steps
+
+
+def capture_train_trace(dtype_name: str, steps: int, trace_dir: str,
+                        model: str, hw=(512, 512), batch: int = 1,
+                        s: int = 5):
+    """Trace the jitted video train step (driver 'vmd', full loss stack —
+    the reference hot loop train_ddp.py:52-84) at the reference's training
+    crop and batch."""
+    from tcvom_tpu.models.full_model import TaskConfig
+    from tcvom_tpu.train.trainer import MattingTrainer
+
+    h, w = hw
+    trainer = MattingTrainer(TaskConfig(model=model, agg_window=7), "vmd",
+                             lr_strategy="poly", base_lr=1e-4,
+                             total_iters=100_000,
+                             compute_dtype=jnp.bfloat16
+                             if dtype_name == "bf16" else None)
+    rng = np.random.RandomState(0)
+    a = np.zeros((batch, s, h, w, 1), np.float32)
+    a[:, :, h // 4: 3 * h // 4, w // 4: 3 * w // 4] = \
+        rng.rand(batch, s, h // 2, w // 2, 1) * 255.0
+    batch_d = {"a": jnp.asarray(a),
+               "fg": jnp.asarray(rng.randint(0, 256, (batch, s, h, w, 3)),
+                                 jnp.float32),
+               "bg": jnp.asarray(rng.randint(0, 256, (batch, s, h, w, 3)),
+                                 jnp.float32)}
+    key = jax.random.PRNGKey(0)
+    state = trainer.init_state(key, batch_d)
+    state, m = trainer.train_step(state, batch_d, key)     # compile + warm
+    np.asarray(m["loss"])
+    with jax.profiler.trace(trace_dir):
+        for _ in range(steps):
+            state, m = trainer.train_step(state, batch_d, key)
+        np.asarray(m["loss"])
     return steps
 
 
@@ -99,7 +139,9 @@ _DEC_PART = re.compile(r"decoder/(ppm|up1_\d|up2|up3|up4)")
 def bucket_of(tf_op: str, source: str) -> str:
     """Map an op's tf_op path + source file to a model component bucket."""
     exe = "encode" if "_encode_impl" in tf_op else (
-        "decode" if "_decode_impl" in tf_op else "other")
+        "decode" if "_decode_impl" in tf_op else (
+            "train" if ("train_step" in tf_op or "loss_fn" in tf_op)
+            else "other"))
     m = _ENC_LAYER.search(tf_op)
     if m:
         return f"{exe}:encoder.{m.group(1)}"
@@ -233,6 +275,13 @@ def main():
                     help="frame size (small values smoke-test on CPU)")
     ap.add_argument("--streams", type=int, default=1,
                     help="concurrent video streams (batch) per step")
+    ap.add_argument("--train", action="store_true",
+                    help="profile the jitted video train step instead of "
+                         "the streaming inference step")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="train-mode batch (reference BATCH_SIZE_PER_GPU)")
+    ap.add_argument("--s", type=int, default=5,
+                    help="train-mode temporal window")
     ap.add_argument("--trace_dir", default=None)
     ap.add_argument("--parse_only", action="store_true",
                     help="skip capture; parse an existing --trace_dir")
@@ -241,10 +290,18 @@ def main():
 
     trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="tpu_attrib_")
     if not args.parse_only:
-        capture_trace(args.dtype, args.steps, trace_dir, args.model,
-                      hw=tuple(args.hw), streams=args.streams)
+        if args.train:
+            hw = tuple(args.hw) if tuple(args.hw) != (1088, 1920) \
+                else (512, 512)
+            capture_train_trace(args.dtype, args.steps, trace_dir,
+                                args.model, hw=hw, batch=args.batch,
+                                s=args.s)
+        else:
+            capture_trace(args.dtype, args.steps, trace_dir, args.model,
+                          hw=tuple(args.hw), streams=args.streams)
     report = parse_xplane(trace_dir, args.steps, args.dtype)
     report["model"] = args.model
+    report["mode"] = "train" if args.train else "stream"
     print(json.dumps(report, indent=1))
     if args.out:
         pathlib.Path(args.out).write_text(json.dumps(report, indent=1) + "\n")

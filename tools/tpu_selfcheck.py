@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """On-TPU kernel/packed-path exactness selfcheck — run once per round on
-the real chip; writes a committed artifact (default TPUCHECK_r04.json).
+the real chip; writes a committed artifact (default TPUCHECK_r05.json).
 
 Converts the repo's strongest numerics claims from commit-message
 assertions into checkable state:
@@ -20,7 +20,7 @@ assertions into checkable state:
 Exit 1 on any failure when running on a TPU backend.
 
 Usage:
-    python tools/tpu_selfcheck.py [--out TPUCHECK_r04.json]
+    python tools/tpu_selfcheck.py [--out TPUCHECK_r05.json]
 """
 from __future__ import annotations
 
@@ -366,7 +366,7 @@ def check_edt(results):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=str(
-        pathlib.Path(__file__).resolve().parents[1] / "TPUCHECK_r04.json"))
+        pathlib.Path(__file__).resolve().parents[1] / "TPUCHECK_r05.json"))
     args = ap.parse_args()
 
     backend = jax.default_backend()
