@@ -47,8 +47,12 @@ _DEFAULTS: dict[str, Any] = {
         "IMAGE_FREQ": 500,
         # TPU-native extension (no reference analog): bf16-compute training
         # — f32 master weights/optimizer, params+activations cast to bf16
-        # inside the step. Numerics pinned by tools/validate_bf16_train.py
-        # (committed BF16_TRAIN_GUARD.json); speed rows in BENCH_TRAIN_*.json.
+        # inside the step. EXPERIMENTAL, off by default: the committed
+        # guard (tools/validate_bf16_train.py -> BF16_TRAIN_GUARD.json)
+        # FAILS its update-cosine gate — WS-conv weight gradients decohere
+        # under bf16 activations and the effect is irreducible without f32
+        # backward activations (see the tool docstring for the bisection).
+        # Speed rows in BENCH_TRAIN_*.json (~11% step-time win measured).
         "BF16": False,
     },
 }

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from tcvom_tpu.models import full_model as FM
+from tcvom_tpu.ops import subpixel
 
 TRIMAP_DILATION = {"narrow": 5, "medium": 12, "wide": 20}  # pred_vmn.py:70-75
 
@@ -148,6 +149,12 @@ class StreamingPredictor:
         self.dtype = dtype
         self.fgbg = fgbg
         self.quantize = quantize
+        # FBA's packed fusion solve can hand back alpha still in the s4d
+        # 16-pack layout — quantization happens packed and the full-res
+        # [..., 1] f32 unpack/squeeze relayouts (measured 1.6 ms/frame at
+        # 1080p, PROFILE_r05 copy.1175 + squeeze.6) never materialize
+        self._packed_alpha = bool(quantize and cfg.method == "fba"
+                                  and not fgbg)
         self.variables = (jax.tree.map(
             lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating)
             else a, variables) if dtype is not None else variables)
@@ -168,6 +175,7 @@ class StreamingPredictor:
         cfg = self.cfg
         # accept uint8 frames (the wild-folder path ships uint8 to the
         # device and casts here, on the device) as well as f32
+        tri_raw = tri
         img = img.astype(jnp.float32)
         tri = tri.astype(jnp.float32)
         pre = FM.preprocess_eval(img[:, None], tri[:, None], cfg)
@@ -190,23 +198,51 @@ class StreamingPredictor:
         prune = getattr(type(self.module.decoder), "prune_enc_head", None)
         if prune is not None:
             enc = prune(enc)
-        return dict(enc=enc, q=qkv["q"], k=qkv["k"], v=qkv["v"],
-                    trimask=pre["trimasks"][:, 0],
-                    gt_tri=tri * FM.IMG_SCALE,
-                    scaled_img=pre["scaled_imgs"][:, 0])
+        out = dict(enc=enc, q=qkv["q"], k=qkv["k"], v=qkv["v"],
+                   trimask=pre["trimasks"][:, 0])
+        if self.quantize:
+            # channel-squeezed paste aids: the [B, H, W, 1] full-res form
+            # tiles 1 of 128 lanes, so the paste gate and the quantized
+            # known-region trimap cross the boundary as W-minor [B, H, W]
+            # bool/uint8 (quantize-before-select commutes with the select,
+            # so this stays byte-exact with the f32 paste-then-quantize).
+            # Both derive from ONE squeeze of the raw upload (u8 in the
+            # wild path — 2 MB) instead of two degenerate-lane f32
+            # relayouts of preprocess outputs (~0.8 ms each at 1080p).
+            s = tri_raw[:, :, :, 0].astype(jnp.float32) * FM.IMG_SCALE
+            out["gt_u8"] = jnp.floor(
+                jnp.clip(s, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            if cfg.dilate_radius is None:
+                # trimask is pointwise in tri here: unknown iff 0<tri/255<1
+                out["paste_gate"] = (s > 0.0) & (s < 1.0)
+            else:
+                out["paste_gate"] = pre["trimasks"][:, 0, :, :, 0] > 0.5
+        else:
+            out["gt_tri"] = tri * FM.IMG_SCALE
+            out["scaled_img"] = pre["scaled_imgs"][:, 0]
+        return out
 
     def _decode_impl(self, variables, cur, prev_k, nxt_k):
         cfg = self.cfg
         pred, attb, attf, _ = self.module.apply(
             variables, cur["enc"], {"q": cur["q"], "v": cur["v"]},
             prev_k, nxt_k, cur["trimask"], train=False, need_logits=False,
+            packed_alpha=self._packed_alpha,
             method=type(self.module).decode_window_qkv)
         if self.quantize:
-            # channel-squeezed paste + u8 quantization (see __init__)
-            a2 = jnp.where(cur["trimask"][..., 0] > 0.5,
-                           pred[..., 0].astype(jnp.float32),
-                           cur["gt_tri"][..., 0])
-            return jnp.floor(jnp.clip(a2, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+            # quantize-then-paste in uint8 (see __init__): byte-exact with
+            # paste-then-quantize since floor/clip commute with the select
+            if self._packed_alpha:
+                # pred is s4d-packed alpha [B, H/4, W/4, 16] — quantize on
+                # the packed grid, unpack as a single W-minor u8 transpose
+                a8 = jnp.floor(jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+                               * 255.0).astype(jnp.uint8)
+                a8 = subpixel.d4s_flat(a8)
+            else:
+                a8 = jnp.floor(
+                    jnp.clip(pred[..., 0].astype(jnp.float32), 0.0, 1.0)
+                    * 255.0).astype(jnp.uint8)
+            return jnp.where(cur["paste_gate"], a8, cur["gt_u8"])
         mask = cur["trimask"] > 0.5
         alpha = jnp.where(mask, pred[..., 0:1], cur["gt_tri"])
         if cfg.method == "fba" and self.fgbg:

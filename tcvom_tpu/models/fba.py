@@ -223,6 +223,51 @@ def _fba_tail_fast16(h4, skip2, ex_parts, p):
     return e, gn_stats
 
 
+def _fba_tail_fast4(h4, skip2, ex_parts, p):
+    """4-pack (2x2 block) re-layout of the OS=1 stages on the HALF grid.
+
+    The 16-pack tail (``_fba_tail_fast16``) pays phase-redundant MXU
+    FLOPs: its [3,3,16I,16O] kernels are ~6% dense (each output phase
+    reads only 9 of the 144 tap-phase slots), so up4 burns ~770 GFLOP of
+    mostly-zeros per 1080p frame — measured 5.7 ms of 190 TFLOP/s conv
+    time (PROFILE_r05). The 2x2 form's [3,3,4I,4O] kernels are 25% dense:
+    up4 drops to ~194 GFLOP with 128/64-lane convs, and none of the
+    original 2x2-era lhs-dilated composites return (that pathology, the
+    130-140 MB zero-stuffed inputs, came from composing the upsample as
+    input dilation; here the OS=2 stage unpacks with a reshape-transpose
+    ``d2s`` and the upsample∘conv runs as ``up_conv`` — edge-pad + plain
+    conv). Interior-exact; border ring stitched by the caller as usual."""
+    w3 = ws_standardize(p["w3"])
+    cin = h4.shape[-1]
+    b = (sp.up_conv(h4, w3[:, :, :cin])
+         + sp.conv2d(skip2, sp.stride2_conv_kernel(w3[:, :, cin:]),
+                     stride=2, padding=1)
+         + sp.tile_bias(p["b3"]))
+
+    b = _patch_b_border(b, h4, skip2, w3, p["b3"])
+    gn_stats = sp.group_norm_s2d_stats(b, p["gn_scale"], p["gn_bias"])
+    mul4 = jnp.tile(gn_stats[0], (1, 4))[:, None, None, :]
+    add4 = jnp.tile(gn_stats[1], (1, 4))[:, None, None, :]
+    b = nn.leaky_relu((b.astype(jnp.float32) * mul4 + add4).astype(b.dtype),
+                      0.01)                               # rep2[h2]
+    h2 = sp.d2s(b, prefer_reshape=True)                   # OS=2 natural
+
+    nex = sum(t.shape[-1] for t in ex_parts)
+    nup = p["w40"].shape[2] - nex                         # 64 upsampled chans
+    ex4, row_perm = sp.s2d_parts(ex_parts)
+    k_ex = jnp.take(sp.rep_conv_kernel(p["w40"][:, :, nup:]),
+                    jnp.asarray(row_perm), axis=2)
+    c = (sp.up_conv(h2, p["w40"][:, :, :nup])
+         + sp.conv2d(ex4, k_ex, padding=1)
+         + sp.tile_bias(p["b40"]))
+    c = nn.leaky_relu(c, 0.01)                            # rep1[h1], 4-pack
+    d = nn.leaky_relu(sp.conv2d(c, sp.rep_conv_kernel(p["w41"]), padding=1)
+                      + sp.tile_bias(p["b41"]), 0.01)
+    e = (sp.conv2d(d, sp.rep_1x1_kernel(p["w42"]), padding=0)
+         + sp.tile_bias(p["b42"]))
+    return e, gn_stats                                    # [N, H/2, W/2, 28]
+
+
 def _tail_fast_ok(h4, ex_parts, ring: int = 8, force_fast=None) -> bool:
     """Whether the 16-pack tail path applies (TPU backend, grid large
     enough for the border-strip extents, full-res dims 4-aligned)."""
@@ -235,20 +280,41 @@ def _tail_fast_ok(h4, ex_parts, ring: int = 8, force_fast=None) -> bool:
                 and ex_parts[0].shape[-2] % 4 == 0)
 
 
-def _fba_tail_packed(h4, skip2, ex_parts, p, ring: int = 8):
-    """16-pack tail with the border ring stitched IN PACKED SPACE: the
-    slow-path strips (full-res, ``ring`` px) are s4d-packed (a pure
+# Tail pack factor: 16 = 4x4 blocks on the quarter grid
+# (_fba_tail_fast16), 4 = 2x2 blocks on the half grid (_fba_tail_fast4).
+# Both were measured end-to-end on v5e at 1080p bf16: 16-pack 23.6 fps,
+# 4-pack 22.6 fps — the 4-pack's honest-FLOP kernels (194 vs ~770 GFLOP
+# in up4) run at only ~90 TF/s on their 64/128-lane shapes and its extra
+# relayouts (d2s of the OS=2 stage, s2d of the thin ex parts, edge pads)
+# cost ~2.5 ms, so the fat-but-saturated 16-pack wins. Module-level so
+# the A/B harness can flip it; exactness parity pinned by
+# tests/test_subpixel.py::test_fba_tail_pack4_matches_pack16.
+TAIL_PACK = 16
+
+
+def _fba_tail_packed(h4, skip2, ex_parts, p, ring: int = 8,
+                     pack_n: int | None = None):
+    """Packed tail with the border ring stitched IN PACKED SPACE: the
+    slow-path strips (full-res, ``ring`` px) are block-packed (a pure
     permutation) and written over the packed border rows/cols — the same
-    full-res pixels the unpacked stitch wrote, so ``d4s`` of this equals
-    the old stitch-after-unpack exactly. Keeping the tail output packed
-    lets the consumer run the (pointwise) fusion solve on the quarter
-    grid and unpack only the channels it actually needs — when only alpha
+    full-res pixels an unpack-then-stitch would write, so unpacking this
+    equals the stitch-after-unpack exactly. Keeping the tail output packed
+    lets the consumer run the (pointwise) fusion solve on the packed grid
+    and unpack only the channels it actually needs — when only alpha
     survives (streaming inference) the F/B unpacks are dead code to XLA.
-    ``ring`` must be a multiple of 4 (packed-row granularity)."""
-    assert ring % 4 == 0, ring
-    e, gn_stats = _fba_tail_fast16(h4, skip2, ex_parts, p)
+    ``ring`` must be a multiple of the pack's row granularity."""
+    pack_n = TAIL_PACK if pack_n is None else pack_n
+    if pack_n == 4:
+        assert ring % 2 == 0, ring
+        e, gn_stats = _fba_tail_fast4(h4, skip2, ex_parts, p)
+        rq, pack = ring // 2, sp.s2d
+    else:
+        assert ring % 4 == 0, ring
+        e, gn_stats = _fba_tail_fast16(h4, skip2, ex_parts, p)
+        rq = ring // 4
+        pack = functools.partial(sp.s4d, prefer_reshape=True)
     s4 = (ring + 1) // 4 + 4
-    s2, s1, r, rq = 2 * s4, 4 * s4, ring, ring // 4
+    s2, s1, r = 2 * s4, 4 * s4, ring
     n = h4.shape[0]
     # opposite-edge strips share a shape — run each pair as one batch-2
     # slow-path chain (the thin-strip ops are launch-bound, so halving the
@@ -269,7 +335,6 @@ def _fba_tail_packed(h4, skip2, ex_parts, p, ring: int = 8):
         ex1s = jnp.concatenate([cat_sl(t, s1) for t in ex_parts], axis=-1)
         return _fba_tail_slow(h4s, skips, ex1s, p, gn_stats=gn2)
 
-    pack = functools.partial(sp.s4d, prefer_reshape=True)
     tb = strips(axis=1)
     e = e.at[:, :rq].set(pack(tb[:n, :r]))
     e = e.at[:, -rq:].set(pack(tb[n:, -r:]))
@@ -289,8 +354,10 @@ def _fba_tail(h4, skip2, ex_parts, p, ring: int = 8, force_fast=None):
     if not _tail_fast_ok(h4, ex_parts, ring, force_fast):
         ex1 = jnp.concatenate(ex_parts, axis=-1)
         return _fba_tail_slow(h4, skip2, ex1, p)
-    return sp.d4s(_fba_tail_packed(h4, skip2, ex_parts, p, ring),
-                  prefer_reshape=True)
+    e = _fba_tail_packed(h4, skip2, ex_parts, p, ring)
+    if e.shape[-1] == 4 * 7:
+        return sp.d2s(e, prefer_reshape=True)
+    return sp.d4s(e, prefer_reshape=True)
 
 
 class FBADecoder(nn.Module):
@@ -321,7 +388,14 @@ class FBADecoder(nn.Module):
         return out
 
     @nn.compact
-    def __call__(self, enc, train: bool = False, mode: str = "full", x=None):
+    def __call__(self, enc, train: bool = False, mode: str = "full", x=None,
+                 packed_alpha: bool = False):
+        """``packed_alpha=True`` (streaming matte path) returns ONLY the
+        fused alpha, in the s4d 16-pack layout [N, H/4, W/4, 16] — the
+        full-res [..., 1] unpack (127/128 dead lanes) never materializes;
+        the caller quantizes packed and unpacks in uint8 via
+        ops.subpixel.d4s_flat. Trace-time flag; pure permutation of the
+        default path's alpha channel."""
         conv_out = enc["conv_out"]
         if "extras" in enc:
             img, two_chan_trimap = enc["extras"]
@@ -394,15 +468,21 @@ class FBADecoder(nn.Module):
         # so XLA CSEs it.
         if _tail_fast_ok(h4, ex_parts) and not BISECT_SOLVE_FULLRES:
             e = _fba_tail_packed(h4, conv_out[-5], ex_parts, p)
-            n, hq, wq, _ = e.shape
-            e = e.astype(jnp.float32).reshape(n, hq, wq, 16, 7)
-            img16 = sp.s4d(img).astype(jnp.float32).reshape(n, hq, wq, 16, 3)
+            n, hq, wq, c_pk = e.shape
+            ph = c_pk // 7                      # pack phases (4 or 16)
+            e = e.astype(jnp.float32).reshape(n, hq, wq, ph, 7)
+            img_pk = (sp.s2d(img) if ph == 4 else sp.s4d(img)).astype(
+                jnp.float32).reshape(n, hq, wq, ph, 3)
             alpha = jnp.clip(e[..., 0:1], 0, 1)
             F = jax.nn.sigmoid(e[..., 1:4])
             B = jax.nn.sigmoid(e[..., 4:7])
-            alpha, F, B = fba_fusion(alpha, img16, F, B)
-            unpack = lambda t: sp.d4s(t.reshape(n, hq, wq, -1),
-                                      prefer_reshape=True)
+            alpha, F, B = fba_fusion(alpha, img_pk, F, B)
+            if packed_alpha:
+                a = alpha.reshape(n, hq, wq, ph)
+                return sp.s2d(a) if ph == 4 else a    # s4d == s2d o s2d
+            unpk = sp.d2s if ph == 4 else sp.d4s
+            unpack = lambda t: unpk(t.reshape(n, hq, wq, -1),
+                                    prefer_reshape=True)
             return jnp.concatenate(
                 [unpack(alpha), unpack(F), unpack(B)], axis=-1)
 
@@ -412,6 +492,8 @@ class FBADecoder(nn.Module):
         F = jax.nn.sigmoid(out[..., 1:4])
         B = jax.nn.sigmoid(out[..., 4:7])
         alpha, F, B = fba_fusion(alpha, img32, F, B)
+        if packed_alpha:
+            return sp.s4d(alpha, prefer_reshape=True)
         return jnp.concatenate([alpha, F, B], axis=-1)
 
 

@@ -130,13 +130,17 @@ class VMN(nn.Module):
         return pred, attb, attf, small_mask
 
     def decode_window_qkv(self, enc_c, qkv_c, k_b, k_f, mask,
-                          train: bool = False, need_logits: bool = True):
+                          train: bool = False, need_logits: bool = True,
+                          packed_alpha: bool = False):
         """:meth:`decode_window` from cached projections (see
-        :meth:`encode_extract_qkv`)."""
+        :meth:`encode_extract_qkv`). ``packed_alpha`` (FBA streaming matte
+        path only) makes the decoder return the fused alpha in s4d 16-pack
+        layout instead of the full-res prediction."""
         agg, attb, attf, small_mask = self.fam.aggregate(
             qkv_c["q"], qkv_c["v"], k_b, k_f, mask,
             need_logits=need_logits)
-        pred = self.decoder(enc_c, train=train, mode="head", x=agg)
+        kw = {"packed_alpha": True} if packed_alpha else {}
+        pred = self.decoder(enc_c, train=train, mode="head", x=agg, **kw)
         return pred, attb, attf, small_mask
 
     def __call__(self, images, masks, extras=None, train: bool = False):

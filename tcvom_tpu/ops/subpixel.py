@@ -127,11 +127,14 @@ def s2d(x):
     return x.reshape(n, h // 2, w // 2, 4 * c)
 
 
-def d2s(x):
-    """[N, H, W, 4C] -> [N, 2H, 2W, C], inverse of :func:`s2d`."""
+def d2s(x, prefer_reshape: bool = False):
+    """[N, H, W, 4C] -> [N, 2H, 2W, C], inverse of :func:`s2d`.
+    ``prefer_reshape`` forces the reshape-transpose path (the identity
+    conv uses lhs dilation, which XLA may lower through a zero-stuffed
+    materialization of the input)."""
     n, h, w, c4 = x.shape
     c = c4 // 4
-    if _conv_layout_ok(x):
+    if _conv_layout_ok(x) and not prefer_reshape:
         return lax.conv_general_dilated(
             x, jnp.asarray(_d2s_eye_np(c), x.dtype), (1, 1), [(1, 1), (1, 1)],
             lhs_dilation=(2, 2), dimension_numbers=_DN)
@@ -389,10 +392,13 @@ def conv2d(x, kernel, *, stride: int = 1, padding=0, lhs_dilation=None,
 
 def up_conv(h, w3, bias=None):
     """(conv3x3 zero-pad o upsample2x clamped)(h), output block-packed on
-    h's grid. Interior-exact; 1-px output ring approximates the conv's
-    zero padding with edge values (callers stitch the ring)."""
-    hp = jnp.pad(h, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
-    y = conv2d(hp, compose_up_conv_kernel(w3), padding=0)
+    h's grid. Interior-exact; the 1-px output ring approximates the
+    composite's true border behavior (callers stitch the ring, so the pad
+    kind only affects stitched-over values). Zero padding INSIDE the conv
+    instead of a materialized edge-clamp pad: the explicit jnp.pad copy
+    measured 0.4-0.8 ms per call at 1080p (PROFILE pad.30/fusion.66 rows)
+    while conv padding is free."""
+    y = conv2d(h, compose_up_conv_kernel(w3), padding=1)
     return y if bias is None else y + tile_bias(bias).astype(y.dtype)
 
 
@@ -511,6 +517,39 @@ def d4s(x, prefer_reshape: bool = False):
     x = x.reshape(n, h, w, 2, 2, 2, 2, c)          # [..., y2, x2, y1, x1, C]
     x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)        # [N,h,y2,y1,w,x2,x1,C]
     return x.reshape(n, 4 * h, 4 * w, c)
+
+
+def d4s_flat(x):
+    """[N, H, W, 16] -> [N, 4H, 4W]: single-channel :func:`d4s` without
+    the trailing unit dim. A [..., 1] full-res tensor tiles (W, 1) on TPU
+    — 1 of 128 lanes live — so unpacking alpha through d4s and squeezing
+    costs two degenerate-layout copies (measured 0.77 + 0.87 ms f32 at
+    1080p, PROFILE_r05 copy.1175/squeeze.6); this emits the W-minor
+    [N, H, W] form in one transpose. Used by the streaming u8 matte path
+    (tcvom_tpu/infer/predict.py), where it runs on uint8."""
+    n, h, w, c16 = x.shape
+    assert c16 == 16, c16
+    x = x.reshape(n, h, w, 2, 2, 2, 2)            # [..., y2, x2, y1, x1]
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6)          # [n, h, y2, y1, w, x2, x1]
+    return x.reshape(n, 4 * h, 4 * w)
+
+
+def s2d_parts(parts):
+    """Pack a channel-concat ``concat(parts, -1)`` in 2x2 block form
+    WITHOUT materializing the full-resolution concat — the 4-pack analog
+    of :func:`s4d_parts` (thin parts take s2d's free W-fold + (2,1)-stride
+    identity conv). Returns ``(packed, row_perm)``; ``row_perm`` reorders
+    the input-channel rows of any kernel built for ``s2d(concat(parts))``
+    channel order so it consumes ``packed`` directly."""
+    packed = jnp.concatenate([s2d(p) for p in parts], axis=-1)
+    sizes = [p.shape[-1] for p in parts]
+    ctot = sum(sizes)
+    perm, off = [], 0
+    for csz in sizes:
+        for blk in range(4):
+            perm.extend(blk * ctot + off + j for j in range(csz))
+        off += csz
+    return packed, np.asarray(perm, np.int64)
 
 
 def s4d_parts(parts, prefer_reshape: bool = False):

@@ -32,7 +32,10 @@ def test_up_conv_matches_reference_interior(rng):
     w = jnp.asarray(rng.randn(3, 3, 5, 4).astype(np.float32))
     want = np.asarray(_conv3x3(_up2x(h), w))            # [1, 12, 16, 4]
     got = np.asarray(sp.d2s(sp.up_conv(h, w)))
-    np.testing.assert_allclose(got[:, 1:-1, 1:-1], want[:, 1:-1, 1:-1],
+    # the approximate ring is 1 PACKED px = 2 full-res px (zero padding in
+    # the composite conv; callers stitch a ring >= 2 px from the
+    # reference-shaped path — the FBA tail stitches 8)
+    np.testing.assert_allclose(got[:, 2:-2, 2:-2], want[:, 2:-2, 2:-2],
                                atol=1e-5)
     # the ring is approximate by design
     assert np.abs(got - want).max() > 0 or True
@@ -115,6 +118,37 @@ def test_fba_tail_fast_matches_slow_with_stitching(rng):
     got = np.asarray(_fba_tail(h4, skip2, ex_parts, p, force_fast=True))
     assert got.shape == want.shape == (2, 64, 96, 7)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_fba_tail_pack4_matches_pack16(rng):
+    """The 4-pack half-grid tail (honest-FLOP kernels) and the 16-pack
+    quarter-grid tail are exact re-associations of the same arithmetic —
+    their unpacked outputs must agree to f32 conv reassociation noise."""
+    from tcvom_tpu.models.fba import _fba_tail_packed
+    from tcvom_tpu.ops import subpixel as sp
+
+    h4 = jnp.asarray(rng.randn(1, 16, 24, 256).astype(np.float32))
+    skip2 = jnp.asarray(rng.randn(1, 32, 48, 64).astype(np.float32))
+    ex_parts = tuple(jnp.asarray(rng.randn(1, 64, 96, c).astype(np.float32))
+                     for c in (3, 3, 2))
+    p = dict(
+        w3=jnp.asarray(rng.randn(3, 3, 320, 64).astype(np.float32)) * 0.1,
+        b3=jnp.asarray(rng.randn(64).astype(np.float32)) * 0.1,
+        gn_scale=jnp.asarray(rng.rand(64).astype(np.float32) + 0.5),
+        gn_bias=jnp.asarray(rng.randn(64).astype(np.float32) * 0.1),
+        w40=jnp.asarray(rng.randn(3, 3, 72, 32).astype(np.float32)) * 0.1,
+        b40=jnp.asarray(rng.randn(32).astype(np.float32) * 0.1),
+        w41=jnp.asarray(rng.randn(3, 3, 32, 16).astype(np.float32)) * 0.1,
+        b41=jnp.asarray(rng.randn(16).astype(np.float32) * 0.1),
+        w42=jnp.asarray(rng.randn(1, 1, 16, 7).astype(np.float32)) * 0.1,
+        b42=jnp.asarray(rng.randn(7).astype(np.float32) * 0.1),
+    )
+    e4 = _fba_tail_packed(h4, skip2, ex_parts, p, pack_n=4)
+    e16 = _fba_tail_packed(h4, skip2, ex_parts, p, pack_n=16)
+    assert e4.shape == (1, 32, 48, 28) and e16.shape == (1, 16, 24, 112)
+    np.testing.assert_allclose(
+        np.asarray(sp.d2s(e4, prefer_reshape=True)),
+        np.asarray(sp.d4s(e16, prefer_reshape=True)), atol=2e-4)
 
 
 @pytest.mark.parametrize("h4w4", [(24, 16), (16, 16)])

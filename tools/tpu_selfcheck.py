@@ -137,14 +137,18 @@ MODEL_CASES = [
     # continuum of partially-amplified deltas: measured 0.084 before the
     # packed-space solve, 0.162 after it (commit 08743e1, which is exact
     # on identical inputs — fba_tail_fast_vs_slow maxerr 7e-7, and f32
-    # fast-vs-direct p999_soft 3.6e-7). The p999 gate is set at the flip
-    # threshold 0.25: sub-flip amplified deltas are expected bf16
-    # graph-vs-graph noise (neither graph is the reference numerics);
-    # flips themselves are gated by the frac>0.25 distribution gates, and
-    # production bf16-vs-f32 quality is owned by the control-anchored
-    # bf16_guard*.json (dtSSD delta + flip rates vs a bf16-storage
-    # control).
-    ("vmn_fba", "bfloat16", 0.25, (0.25, 1e-3)),
+    # fast-vs-direct p999_soft 3.6e-7). The 0.084->0.162 jump was bisected
+    # on chip (tools/bisect_fba_bf16.py -> BISECT_FBA_BF16.json): it is
+    # entirely the r04 gate-statistic relocalization (whole-frame p999 of
+    # the same run is 0.091; the soft-unknown subset is where the
+    # amplified deltas live) — relocating the solve itself contributes
+    # maxerr 0.0. The p999 gate sits at 1.25x the measured 0.162 (the
+    # same headroom ratio as the f32 rows), BELOW the 0.25 flip threshold
+    # so it retains coverage independent of the frac>0.25 gates; flips
+    # are gated by those, and production bf16-vs-f32 quality is owned by
+    # the control-anchored bf16_guard*.json (dtSSD delta + flip rates vs
+    # a bf16-storage control).
+    ("vmn_fba", "bfloat16", 0.20, (0.25, 1e-3)),
 ]
 
 

@@ -25,6 +25,24 @@ artifact; re-derive if the model changes):
 - max |traj_ratio - 1| <= 0.25 over the first N steps (trajectories track;
   loose by design — compounding drift is chaotic, not directional)
 
+STATUS (r05): the guard FAILS on the update-cosine gate (dips to ~0.75 at
+steps 5-7 before settling at ~0.95) and the recipe is therefore labeled
+EXPERIMENTAL, off by default. Root cause, established by experiment: the
+encoder's WS-conv weight gradients decohere under bf16 (per-group raw
+cosines 0.002-0.05 vs f32) because the WS projection cancels the dominant
+per-filter mean/scale components of dW, leaving rounding-scale noise as
+the signal. A custom VJP that kept the weight cotangent in f32 through
+the projection (f32-operand dW conv at DEFAULT precision — same single
+bf16 MXU pass) measured IDENTICAL decoherence (cosine 0.846 vs 0.846 on
+a controlled synthetic with a 20x cancellation ratio): the noise enters
+through the bf16-rounded dW-conv INPUTS (activations and upstream
+cotangents), not the cotangent materialization. Fixing it would require
+f32 activations on the backward path, which is the f32 trainer. The
+trajectory still tracks (loss_rel <=1.5%, traj dev <=6% over 20 steps)
+because the decohered component lies mostly in WS-invariant directions
+(the forward is exactly invariant to per-filter kernel mean/scale), but
+the committed gate is the honest bar and it does not pass.
+
 Usage:
     python tools/validate_bf16_train.py [--steps 20] [--out BF16_TRAIN_GUARD.json]
     python tools/validate_bf16_train.py --smoke     # tiny shapes, CI tier
