@@ -62,6 +62,9 @@ class FBAEncoder(nn.Module):
                 and x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0):
             # stem on the block-packed input: 44 channels on the half grid
             # instead of 11 at full res (s2d is an identity conv here)
+            # NB: s2d's W-fold conv path, NOT prefer_reshape — the
+            # reshape-transpose on the full-res 11-channel input measured
+            # 18.3 vs 24.1 fps end-to-end (r05 A/B)
             h = sp.conv2d(sp.s2d(x), sp.stem7_s2_packed_kernel(
                 ws_standardize(w1)), padding=[(2, 1), (2, 1)])
         else:

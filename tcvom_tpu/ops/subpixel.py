@@ -106,14 +106,15 @@ def _s2d_wfold_eye_np(c: int):
     return eye
 
 
-def s2d(x):
+def s2d(x, prefer_reshape: bool = False):
     """[N, H, W, C] -> [N, H/2, W/2, 4C], channel (py*2+px)*C + c.
 
     Thin-channel inputs go through a free W-fold reshape ([..., W, C] ->
     [..., W/2, 2C] is contiguous) + a (2,1)-stride identity conv — ~1.6x
-    the plain 2x2 identity conv on full-res thin tensors (bit-exact)."""
+    the plain 2x2 identity conv on full-res thin tensors (bit-exact).
+    ``prefer_reshape`` forces the reshape-transpose path."""
     n, h, w, c = x.shape
-    if _conv_layout_ok(x):
+    if _conv_layout_ok(x) and not prefer_reshape:
         if c <= 16:
             xw = x.reshape(n, h, w // 2, 2 * c)
             return lax.conv_general_dilated(
@@ -519,18 +520,29 @@ def d4s(x, prefer_reshape: bool = False):
     return x.reshape(n, 4 * h, 4 * w, c)
 
 
+# nested s4d channel (y2,x2,y1,x1) feeding each flat (py*4+px) slot — the
+# static gather re-orders phases so the spatial unpack below is ONE
+# [h,w,4,4]->[h,4,w,4] transpose instead of the nested 2x2x2x2 shuffle
+_D4S_FLAT_PERM = np.array(
+    [(py // 2 * 2 + px // 2) * 4 + (py % 2 * 2 + px % 2)
+     for py in range(4) for px in range(4)], np.int32)
+
+
 def d4s_flat(x):
-    """[N, H, W, 16] -> [N, 4H, 4W]: single-channel :func:`d4s` without
-    the trailing unit dim. A [..., 1] full-res tensor tiles (W, 1) on TPU
-    — 1 of 128 lanes live — so unpacking alpha through d4s and squeezing
-    costs two degenerate-layout copies (measured 0.77 + 0.87 ms f32 at
-    1080p, PROFILE_r05 copy.1175/squeeze.6); this emits the W-minor
-    [N, H, W] form in one transpose. Used by the streaming u8 matte path
-    (tcvom_tpu/infer/predict.py), where it runs on uint8."""
+    """[N, H, W, 16] (s4d order) -> [N, 4H, 4W]: single-channel
+    :func:`d4s` without the trailing unit dim. A [..., 1] full-res tensor
+    tiles (W, 1) on TPU — 1 of 128 lanes live — so unpacking alpha through
+    d4s and squeezing costs two degenerate-layout copies (measured
+    0.77 + 0.87 ms f32 at 1080p, PROFILE_r05 copy.1175/squeeze.6). This
+    emits the W-minor [N, H, W] form via a static phase gather (which XLA
+    fuses into the producer — e.g. the u8 quantize in the streaming matte
+    path) + one flat transpose: 0.36 ms vs 1.70 ms for the direct nested
+    transpose at 1080p u8 (r05 microbench, perm fused)."""
     n, h, w, c16 = x.shape
     assert c16 == 16, c16
-    x = x.reshape(n, h, w, 2, 2, 2, 2)            # [..., y2, x2, y1, x1]
-    x = x.transpose(0, 1, 3, 5, 2, 4, 6)          # [n, h, y2, y1, w, x2, x1]
+    x = x[..., jnp.asarray(_D4S_FLAT_PERM)]
+    x = x.reshape(n, h, w, 4, 4)                  # [..., py, px]
+    x = x.transpose(0, 1, 3, 2, 4)                # [n, h, py, w, px]
     return x.reshape(n, 4 * h, 4 * w)
 
 

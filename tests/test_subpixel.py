@@ -332,6 +332,22 @@ def test_s4d_matches_double_s2d_and_roundtrip(rng):
         np.asarray(sp.d4s(sp.s4d(x), prefer_reshape=True)), np.asarray(x))
 
 
+def test_d4s_flat_matches_d4s_squeeze(rng):
+    """d4s_flat == d4s(...)[..., 0] on a single-channel s4d pack — the
+    phase gather + flat transpose is the same permutation (u8 matte path,
+    tcvom_tpu/infer/predict.py)."""
+    x = jnp.asarray(rng.randn(2, 8, 12, 1).astype(np.float32))
+    packed = sp.s4d(x, prefer_reshape=True)
+    np.testing.assert_array_equal(
+        np.asarray(sp.d4s_flat(packed)),
+        np.asarray(sp.d4s(packed, prefer_reshape=True))[..., 0])
+    u8 = (jnp.abs(packed) * 37).astype(jnp.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(sp.d4s_flat(u8)),
+        np.asarray(sp.d4s(u8.astype(jnp.float32),
+                          prefer_reshape=True))[..., 0].astype(np.uint8))
+
+
 def test_rep16_conv_kernel_exact_everywhere(rng):
     x = jnp.asarray(rng.randn(1, 12, 16, 5).astype(np.float32))
     w = jnp.asarray(rng.randn(3, 3, 5, 4).astype(np.float32))
